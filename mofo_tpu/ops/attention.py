@@ -1,0 +1,104 @@
+"""Attention kernels.
+
+Two implementations behind one interface:
+  - "xla": einsum softmax einsum; XLA fuses this well for short sequences
+    (the MOFO pretrain encoder runs on only 160 visible tokens).
+  - "pallas": blockwise fused flash attention for the 1568-token
+    decoder/finetune sequences (see mofo_tpu/ops/flash_attention.py).
+
+"auto" picks pallas on TPU for sequences long enough to benefit, xla
+otherwise. The reference computes naive O(N^2) attention in
+modeling_finetune.py:88-95; numerics here match it (softmax in float32).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# Sequences shorter than this gain nothing from a blockwise kernel.
+_PALLAS_MIN_SEQ = 512
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
+def xla_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    *,
+    scale: float,
+    bias: Optional[Array] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[Array] = None,
+    deterministic: bool = True,
+) -> Array:
+    """Reference-parity attention. q,k,v: (B, N, H, Dh) -> (B, N, H, Dh).
+
+    Softmax is computed in float32 regardless of input dtype (torch autocast
+    does the same for softmax).
+    """
+    dtype = q.dtype
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+    )
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(
+            dropout_rng, 1.0 - dropout_rate, probs.shape
+        )
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    probs = probs.astype(dtype)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs, v, preferred_element_type=dtype
+    )
+    return out
+
+
+def dot_product_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    *,
+    scale: float,
+    bias: Optional[Array] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[Array] = None,
+    deterministic: bool = True,
+    impl: str = "auto",
+) -> Array:
+    """Dispatching attention entry point. q,k,v: (B, N, H, Dh)."""
+    if impl == "auto":
+        use_pallas = (
+            _on_tpu()
+            and q.shape[1] >= _PALLAS_MIN_SEQ
+            and q.shape[1] == k.shape[1]
+            and bias is None
+            and (deterministic or dropout_rate == 0.0)
+        )
+        impl = "pallas" if use_pallas else "xla"
+    if impl == "pallas":
+        from mofo_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    return xla_attention(
+        q,
+        k,
+        v,
+        scale=scale,
+        bias=bias,
+        dropout_rate=dropout_rate,
+        dropout_rng=dropout_rng,
+        deterministic=deterministic,
+    )

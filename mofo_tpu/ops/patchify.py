@@ -1,0 +1,126 @@
+"""Patchify / unpatchify and normalized-pixel reconstruction targets.
+
+Behavioral parity with the reference target construction in
+engine_for_pretraining.py:43-63:
+  1. un-normalize the (ImageNet-normalized) clip back to [0, 1]
+  2. rearrange 'b c (t p0) (h p1) (w p2) -> b (t h w) (p0 p1 p2) c'
+  3. per-patch normalize: (x - mean) / (sqrt(unbiased var) + 1e-6), stats
+     over the 512 pixel positions per channel
+  4. flatten to (B, N, 1536) with channel fastest — '(p c)'
+  5. gather the masked positions as labels
+
+Everything here is pure jnp, designed to run inside the jitted train step
+(no host round trips). Layout: clips are channel-last (B, T, H, W, C).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mofo_tpu.core import constants
+
+Array = jax.Array
+
+
+def patchify(
+    clip: Array, patch_size: int = 16, tubelet_size: int = 2
+) -> Array:
+    """(B, T, H, W, C) -> (B, N, P, C) where N = t*h*w tokens and
+    P = tubelet*patch*patch pixel positions, matching the reference
+    rearrange 'b c (t p0) (h p1) (w p2) -> b (t h w) (p0 p1 p2) c'."""
+    B, T, H, W, C = clip.shape
+    p0, p = tubelet_size, patch_size
+    t, h, w = T // p0, H // p, W // p
+    x = clip.reshape(B, t, p0, h, p, w, p, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # (B,t,h,w,p0,p1,p2,C)
+    return x.reshape(B, t * h * w, p0 * p * p, C)
+
+
+def unpatchify(
+    patches: Array,
+    t: int,
+    h: int,
+    w: int,
+    patch_size: int = 16,
+    tubelet_size: int = 2,
+) -> Array:
+    """(B, N, P, C) -> (B, T, H, W, C). Inverse of patchify."""
+    B, N, P, C = patches.shape
+    p0, p = tubelet_size, patch_size
+    x = patches.reshape(B, t, h, w, p0, p, p, C)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)  # (B,t,p0,h,p1,w,p2,C)
+    return x.reshape(B, t * p0, h * p, w * p, C)
+
+
+def unnormalize_clip(
+    clip: Array,
+    mean: Tuple[float, ...] = constants.IMAGENET_DEFAULT_MEAN,
+    std: Tuple[float, ...] = constants.IMAGENET_DEFAULT_STD,
+) -> Array:
+    """Invert ImageNet normalization: x * std + mean. Channel-last."""
+    mean_a = jnp.asarray(mean, dtype=clip.dtype)
+    std_a = jnp.asarray(std, dtype=clip.dtype)
+    return clip * std_a + mean_a
+
+
+def normalized_pixel_targets(
+    clip: Array,
+    *,
+    normalize_target: bool = True,
+    patch_size: int = 16,
+    tubelet_size: int = 2,
+    input_normalized: bool = True,
+) -> Array:
+    """Build per-token reconstruction targets (B, N, P*C), channel fastest.
+
+    clip: (B, T, H, W, C), ImageNet-normalized unless input_normalized=False.
+    Matches engine_for_pretraining.py:43-63 exactly (float32 statistics,
+    unbiased variance, eps added to std).
+    """
+    x = clip.astype(jnp.float32)
+    if input_normalized:
+        x = unnormalize_clip(x)
+    patches = patchify(x, patch_size, tubelet_size)  # (B, N, P, C)
+    if normalize_target:
+        mean = jnp.mean(patches, axis=-2, keepdims=True)
+        # unbiased variance (torch var(unbiased=True))
+        n = patches.shape[-2]
+        var = jnp.var(patches, axis=-2, keepdims=True) * (n / (n - 1))
+        patches = (patches - mean) / (jnp.sqrt(var) + 1e-6)
+    B, N, P, C = patches.shape
+    return patches.reshape(B, N, P * C)
+
+
+def gather_masked_targets(
+    targets: Array, mask_indices: Array
+) -> Array:
+    """Gather per-token targets at masked positions.
+
+    targets: (B, N, D); mask_indices: (B, M) int32 (ascending masked
+    positions, from mofo_tpu.ops.masking.mask_to_indices). Returns (B, M, D).
+    Equivalent to the reference's boolean-index labels =
+    videos_patch[bool_masked_pos].reshape(B, -1, C) — tube masking guarantees
+    an equal count per sample, which is what makes the static gather valid.
+    """
+    return jnp.take_along_axis(targets, mask_indices[..., None], axis=1)
+
+
+def masked_mse_loss(
+    pred: Array, target: Array, weights: Optional[Array] = None
+) -> Array:
+    """Mean squared error over predicted masked tokens.
+
+    pred, target: (B, M, D). With weights=None this is nn.MSELoss()
+    (engine_for_pretraining.py:27,67). `weights` (B, M) enables the MOFO
+    motion-weighted loss variant (the reference's train_one_epoch_BB accepts
+    a loss_weight but ships with plain mean MSE — engine_for_pretraining.py:
+    288-304; we expose the intended capability).
+    """
+    err = jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32))
+    if weights is None:
+        return jnp.mean(err)
+    w = weights.astype(jnp.float32)[..., None]
+    return jnp.sum(err * w) / (jnp.sum(w) * err.shape[-1] + 1e-12)
