@@ -1,0 +1,125 @@
+"""Benchmark: ViT-B MOFO pretrain train step on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "clips/sec/chip ViT-B MOFO pretrain", "value": N,
+   "unit": "clips/s", "vs_baseline": N, "extra": {...}}
+
+vs_baseline is measured MFU / 0.45 (the BASELINE.json north-star target of
+>=45% MFU for the ViT-B pretrain step; the reference repo publishes no
+throughput numbers to compare against directly).
+
+FLOPs are computed analytically from the model geometry (fwd matmul FLOPs;
+train step = ~3x fwd for fwd+bwd).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# bf16 peak FLOP/s per chip by TPU generation (dense).
+PEAK_FLOPS = {
+    "v4": 275e12,
+    "v5e": 197e12,
+    "v5 lite": 197e12,
+    "v5p": 459e12,
+    "v6e": 918e12,
+}
+
+
+def detect_peak_flops() -> float:
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return 197e12
+    for key, val in PEAK_FLOPS.items():
+        if key in kind:
+            return val
+    return 197e12
+
+
+def vit_b_pretrain_fwd_flops(batch: int) -> float:
+    """Analytic forward matmul FLOPs for ViT-B MAE (16x224^2, mask .9)."""
+    def block_flops(n, d, mlp=4):
+        # qkv + proj + mlp: 2*n*d*(3d + d + 2*mlp*d); attention: 2*2*n^2*d
+        return 2 * n * d * (3 * d + d + 2 * mlp * d) + 4 * n * n * d
+
+    n_tokens, n_vis = 1568, 160
+    enc = 12 * block_flops(n_vis, 768)
+    patch = 2 * n_tokens * 1536 * 768
+    e2d = 2 * n_vis * 768 * 384
+    dec = 4 * block_flops(n_tokens, 384)
+    head = 2 * (n_tokens - n_vis) * 384 * 1536
+    return batch * (patch + enc + e2d + dec + head)
+
+
+def main():
+    from mofo_tpu.core.config import PretrainConfig
+    from mofo_tpu.models import create_model
+    from mofo_tpu.train import optim, schedules
+    from mofo_tpu.train.pretrain_step import make_pretrain_step
+    from mofo_tpu.train.train_state import TrainState
+
+    B = 32
+    cfg = PretrainConfig(batch_size=B)
+    model = create_model(
+        "pretrain_videomae_base_patch16_224", dtype=jnp.bfloat16
+    )
+    clip = jax.random.normal(
+        jax.random.PRNGKey(0), (B, 16, 224, 224, 3), jnp.float32
+    )
+    vis0 = jnp.zeros((B, cfg.num_tokens - cfg.num_masked), jnp.int32)
+    msk0 = jnp.zeros((B, cfg.num_masked), jnp.int32)
+    params = model.init(jax.random.PRNGKey(1), clip, vis0, msk0)["params"]
+
+    lr = schedules.cosine_schedule(1.5e-4, 1e-5, 800, 100, 40)
+    tx = optim.create_optimizer(
+        params, lr_schedule=lr, betas=(0.9, 0.95), weight_decay=0.05
+    )
+    state = TrainState.create(params, tx)
+    step = jax.jit(
+        make_pretrain_step(model, tx, cfg, lr), donate_argnums=(0,)
+    )
+    batch = {"clip": clip}
+    rng = jax.random.PRNGKey(2)
+
+    # warmup + compile
+    state, metrics = step(state, batch, rng, 0.0)
+    jax.block_until_ready(metrics["loss"])
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, metrics = step(state, batch, rng, 0.0)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / n_iters
+
+    clips_per_sec = B / dt
+    train_flops = 3 * vit_b_pretrain_fwd_flops(B)
+    peak = detect_peak_flops()
+    mfu = train_flops / dt / peak
+    print(
+        json.dumps(
+            {
+                "metric": "clips/sec/chip ViT-B MOFO pretrain",
+                "value": round(clips_per_sec, 2),
+                "unit": "clips/s",
+                "vs_baseline": round(mfu / 0.45, 4),
+                "extra": {
+                    "step_ms": round(dt * 1e3, 2),
+                    "batch": B,
+                    "mfu": round(mfu, 4),
+                    "peak_flops": peak,
+                    "device": str(jax.devices()[0].device_kind),
+                    "loss": float(metrics["loss"]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,206 @@
+"""The jitted MAE pretraining step.
+
+One XLA program replaces the reference's per-step engine work
+(engine_for_pretraining.py:29-196): LR/WD schedule assignment, H2D copy,
+target construction under no_grad, autocast forward, MSE, scaler backward,
+optimizer step, and DDP gradient allreduce. Sharded inputs + jit insert the
+psum over the mesh automatically.
+
+TPU-native: the tube / motion-BB mask is generated ON DEVICE inside the
+step from a folded-in PRNG key — the host pipeline ships only clips (and
+boxes for MOFO). Gradient accumulation (--update_freq) is a lax.scan over
+microbatches.
+
+The MOFO motion-weighted loss (the reference's intended but commented-out
+weighted MSE, engine_for_pretraining.py:288-304, with the runner's gradual
+1->0 weight list run_mae_pretraining_BB.py:262) is implemented behind
+cfg.motion_loss_weight: per-token weight = 1 + w(t) for in-box tokens.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mofo_tpu.core.config import PretrainConfig
+from mofo_tpu.ops import masking, patchify
+from mofo_tpu.train.optim import global_norm
+from mofo_tpu.train.train_state import TrainState, ema_update
+
+Array = jax.Array
+Batch = Dict[str, Array]
+
+
+def generate_mask(
+    rng: Array, batch: Batch, cfg: PretrainConfig
+) -> Array:
+    """On-device mask generation. batch['clip']: (B, T, H, W, C);
+    batch may carry 'boxes': (B, T, 4) for motion-aware masking."""
+    B = batch["clip"].shape[0]
+    t, h, w = cfg.window_size
+    if cfg.masking.mask_type == "tube_bb":
+        return masking.motion_tube_mask(
+            rng,
+            batch["boxes"],
+            temporal_positions=t,
+            patches_per_side=h,
+            patch_size=cfg.patch_size,
+            mask_ratio=cfg.masking.mask_ratio,
+            mask_ratio_bb=cfg.masking.mask_ratio_bb,
+            bug_compat=cfg.masking.bug_compat,
+            box_reduce=cfg.masking.box_reduce,
+        )
+    return masking.tube_mask(
+        rng,
+        B,
+        temporal_positions=t,
+        patches_per_frame=cfg.patches_per_frame,
+        mask_ratio=cfg.masking.mask_ratio,
+    )
+
+
+def _loss_for_batch(
+    model,
+    params,
+    batch: Batch,
+    rng: Array,
+    cfg: PretrainConfig,
+    loss_weight: Optional[Array],
+    train: bool,
+) -> Array:
+    clip = batch["clip"]
+    mask_rng, dropout_rng, droppath_rng = jax.random.split(rng, 3)
+    mask = generate_mask(mask_rng, batch, cfg)
+    vis_idx, masked_idx = masking.mask_to_indices(mask, cfg.num_masked)
+
+    targets = patchify.normalized_pixel_targets(
+        clip,
+        normalize_target=cfg.normalize_target,
+        patch_size=cfg.patch_size,
+        tubelet_size=cfg.tubelet_size,
+    )
+    targets = patchify.gather_masked_targets(targets, masked_idx)
+
+    weights = None
+    if cfg.motion_loss_weight and loss_weight is not None:
+        # Per-masked-token weight: 1 + w for tokens inside the motion box.
+        from mofo_tpu.models.bb_focused import token_in_box_map
+
+        in_map = token_in_box_map(
+            batch["boxes"],
+            tubelet_size=cfg.tubelet_size,
+            patches_per_side=cfg.input_size // cfg.patch_size,
+            patch_size=cfg.patch_size,
+        )
+        in_masked = jnp.take_along_axis(in_map, masked_idx, axis=1)
+        weights = 1.0 + loss_weight * in_masked.astype(jnp.float32)
+
+    pred = model.apply(
+        {"params": params},
+        clip,
+        vis_idx,
+        masked_idx,
+        deterministic=not train,
+        rngs={"dropout": dropout_rng, "droppath": droppath_rng}
+        if train
+        else {},
+    )
+    return patchify.masked_mse_loss(pred, targets, weights=weights)
+
+
+def make_pretrain_step(
+    model,
+    tx: optax.GradientTransformation,
+    cfg: PretrainConfig,
+    lr_schedule: Optional[np.ndarray] = None,
+) -> Callable[[TrainState, Batch, Array, Array], Tuple[TrainState, Dict]]:
+    """Returns step_fn(state, batch, rng, loss_weight) -> (state, metrics).
+
+    batch['clip']: (B, T, H, W, C) normalized clips; with update_freq > 1,
+    B must be divisible by it (microbatches are a leading reshape).
+    rng: per-run key; folded with the step counter for per-step streams.
+    loss_weight: scalar for the MOFO gradual weighting (pass 0.0 if unused).
+    """
+    lr_arr = (
+        jnp.asarray(lr_schedule) if lr_schedule is not None else None
+    )
+
+    def step_fn(state: TrainState, batch: Batch, rng: Array, loss_weight):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params, mbatch, mrng):
+            return _loss_for_batch(
+                model, params, mbatch, mrng, cfg, loss_weight, train=True
+            )
+
+        if cfg.update_freq > 1:
+            k = cfg.update_freq
+            micro = jax.tree.map(
+                lambda x: x.reshape((k, x.shape[0] // k) + x.shape[1:]),
+                batch,
+            )
+            rngs = jax.random.split(rng, k)
+
+            def scan_body(carry, xs):
+                loss_sum, grad_sum = carry
+                mbatch, mrng = xs
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    state.params, mbatch, mrng
+                )
+                return (
+                    loss_sum + loss,
+                    jax.tree.map(jnp.add, grad_sum, grads),
+                ), None
+
+            zero_grads = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            (loss_sum, grad_sum), _ = jax.lax.scan(
+                scan_body, (jnp.zeros([], jnp.float32), zero_grads),
+                (micro, rngs),
+            )
+            loss = loss_sum / k
+            grads = jax.tree.map(lambda g: g / k, grad_sum)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, batch, rng
+            )
+
+        grad_norm = global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        ema = state.ema_params
+        if ema is not None:
+            ema = ema_update(ema, params, 0.9999)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema,
+        )
+        metrics = {"loss": loss, "grad_norm": grad_norm}
+        if lr_arr is not None:
+            idx = jnp.minimum(state.step, lr_arr.shape[0] - 1)
+            metrics["lr"] = lr_arr[idx]
+        return new_state, metrics
+
+    return step_fn
+
+
+def make_eval_loss_fn(
+    model, cfg: PretrainConfig
+) -> Callable[[Any, Batch, Array], Array]:
+    """Deterministic reconstruction loss (for validation curves)."""
+
+    def eval_fn(params, batch: Batch, rng: Array) -> Array:
+        return _loss_for_batch(
+            model, params, batch, rng, cfg, None, train=False
+        )
+
+    return eval_fn

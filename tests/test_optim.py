@@ -1,0 +1,189 @@
+"""Optimizer/schedule parity vs the reference implementation semantics.
+
+The AdamW test reproduces the reference training-loop mechanics in torch
+(param groups with lr_scale, per-step lr/wd mutation as in
+engine_for_pretraining.py:30-37) and checks our optax chain tracks it
+bit-for-bit over many steps.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from mofo_tpu.train import optim, schedules
+
+
+class TestCosineSchedule:
+    def test_matches_reference_formula(self):
+        # direct transcription of utils.py:391-408
+        base, final, epochs, niter, warm = 1.5e-4, 1e-5, 10, 7, 2
+        warmup_iters = warm * niter
+        warmup = np.linspace(0, base, warmup_iters)
+        iters = np.arange(epochs * niter - warmup_iters)
+        main = np.array(
+            [
+                final
+                + 0.5 * (base - final) * (1 + math.cos(math.pi * i / len(iters)))
+                for i in iters
+            ]
+        )
+        ref = np.concatenate([warmup, main])
+        ours = schedules.cosine_schedule(base, final, epochs, niter, warm)
+        np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+    def test_no_warmup(self):
+        s = schedules.cosine_schedule(1.0, 0.1, 4, 5)
+        assert len(s) == 20 and abs(s[0] - 1.0) < 1e-6
+
+    def test_warmup_steps_override(self):
+        s = schedules.cosine_schedule(1.0, 0.0, 4, 5, warmup_epochs=1,
+                                      warmup_steps=3)
+        assert len(s) == 20
+        np.testing.assert_allclose(s[:3], np.linspace(0, 1.0, 3), rtol=1e-6)
+
+    def test_scaled_lr(self):
+        assert abs(schedules.scaled_lr(1.5e-4, 2048) - 1.2e-3) < 1e-9
+
+
+class TestParamLabels:
+    def _params(self):
+        return {
+            "patch_embed": {"kernel": jnp.ones((8, 4)),
+                            "bias": jnp.ones((4,))},
+            "blocks_0": {"attn": {"qkv_kernel": jnp.ones((4, 12)),
+                                  "q_bias": jnp.ones((4,))}},
+            "blocks_3": {"mlp": {"fc1": {"kernel": jnp.ones((4, 16))}}},
+            "head": {"kernel": jnp.ones((4, 2)), "bias": jnp.ones((2,))},
+            "mask_token": jnp.ones((1, 1, 4)),
+        }
+
+    def test_decay_mask(self):
+        mask = optim.decay_mask(self._params())
+        assert mask["patch_embed"]["kernel"] is True
+        assert mask["patch_embed"]["bias"] is False
+        assert mask["blocks_0"]["attn"]["q_bias"] is False
+        assert mask["head"]["kernel"] is True
+        assert mask["mask_token"] is False  # 3-D but in no-decay set
+
+    def test_layer_ids(self):
+        depth = 12
+        num_layers = depth + 2
+        ids = jax.tree_util.tree_map_with_path(
+            lambda p, _: optim.layer_id_for_path(p, num_layers),
+            self._params(),
+        )
+        assert ids["patch_embed"]["kernel"] == 0
+        assert ids["blocks_0"]["attn"]["qkv_kernel"] == 1
+        assert ids["blocks_3"]["mlp"]["fc1"]["kernel"] == 4
+        assert ids["head"]["kernel"] == num_layers - 1
+        assert ids["mask_token"] == 0
+
+    def test_backbone_prefix(self):
+        class FakeKey:
+            def __init__(self, key):
+                self.key = key
+
+        path = (FakeKey("backbone"), FakeKey("blocks_5"), FakeKey("kernel"))
+        assert optim.layer_id_for_path(path, 14) == 6
+
+
+class TestAdamWParityVsTorch:
+    def test_tracks_torch_adamw_with_layer_decay_and_schedules(self):
+        steps, depth, layer_decay = 25, 2, 0.75
+        rng = np.random.RandomState(0)
+        w0 = rng.randn(4, 3).astype(np.float32)  # blocks_0 kernel (decay)
+        w1 = rng.randn(4, 3).astype(np.float32)  # head kernel (decay)
+        b0 = rng.randn(3).astype(np.float32)  # bias (no decay)
+        grads_seq = [
+            {
+                "blocks_0": {"kernel": rng.randn(4, 3).astype(np.float32)},
+                "head": {"kernel": rng.randn(4, 3).astype(np.float32),
+                         "bias": rng.randn(3).astype(np.float32)},
+            }
+            for _ in range(steps)
+        ]
+        lr_sched = schedules.cosine_schedule(1e-3, 1e-5, 5, 5, 1)
+        wd_sched = schedules.cosine_schedule(0.05, 0.02, 5, 5)
+
+        # --- torch side: reference engine mechanics ---
+        tp = {
+            "w0": torch.tensor(w0, requires_grad=True),
+            "w1": torch.tensor(w1, requires_grad=True),
+            "b0": torch.tensor(b0, requires_grad=True),
+        }
+        num_layers = depth + 2
+        values = [layer_decay ** (depth + 1 - i) for i in range(num_layers)]
+        groups = [
+            {"params": [tp["w0"]], "weight_decay": 0.05,
+             "lr_scale": values[1]},  # blocks_0 -> layer 1
+            {"params": [tp["w1"]], "weight_decay": 0.05,
+             "lr_scale": values[num_layers - 1]},  # head -> last
+            {"params": [tp["b0"]], "weight_decay": 0.0,
+             "lr_scale": values[num_layers - 1]},
+        ]
+        topt = torch.optim.AdamW(groups, lr=1.0, betas=(0.9, 0.95),
+                                 eps=1e-8)
+        for it in range(steps):
+            for g in topt.param_groups:
+                g["lr"] = float(lr_sched[it]) * g["lr_scale"]
+                if g["weight_decay"] > 0:
+                    g["weight_decay"] = float(wd_sched[it])
+            tp["w0"].grad = torch.tensor(grads_seq[it]["blocks_0"]["kernel"])
+            tp["w1"].grad = torch.tensor(grads_seq[it]["head"]["kernel"])
+            tp["b0"].grad = torch.tensor(grads_seq[it]["head"]["bias"])
+            topt.step()
+
+        # --- our side ---
+        params = {
+            "blocks_0": {"kernel": jnp.asarray(w0)},
+            "head": {"kernel": jnp.asarray(w1), "bias": jnp.asarray(b0)},
+        }
+        tx = optim.create_optimizer(
+            params,
+            lr_schedule=lr_sched,
+            wd_schedule=wd_sched,
+            betas=(0.9, 0.95),
+            layer_decay=layer_decay,
+            depth=depth,
+        )
+        import optax
+
+        opt_state = tx.init(params)
+        for it in range(steps):
+            g = {
+                "blocks_0": {"kernel": jnp.asarray(
+                    grads_seq[it]["blocks_0"]["kernel"])},
+                "head": {"kernel": jnp.asarray(grads_seq[it]["head"]["kernel"]),
+                         "bias": jnp.asarray(grads_seq[it]["head"]["bias"])},
+            }
+            updates, opt_state = tx.update(g, opt_state, params)
+            params = optax.apply_updates(params, updates)
+
+        np.testing.assert_allclose(
+            np.asarray(params["blocks_0"]["kernel"]),
+            tp["w0"].detach().numpy(), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(params["head"]["kernel"]),
+            tp["w1"].detach().numpy(), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(params["head"]["bias"]),
+            tp["b0"].detach().numpy(), atol=1e-6)
+
+    def test_clip_grad(self):
+        params = {"w": jnp.ones((3,)) * 0.0}
+        tx = optim.create_optimizer(
+            params, lr_schedule=np.array([1.0]), weight_decay=0.0,
+            clip_grad=0.1,
+        )
+        st = tx.init(params)
+        big = {"w": jnp.ones((3,)) * 100.0}
+        upd, _ = tx.update(big, st, params)
+        # after clip, adam normalizes to ~unit scale; just assert finite
+        assert np.isfinite(np.asarray(upd["w"])).all()
+
+    def test_global_norm(self):
+        tree = {"a": jnp.asarray([3.0]), "b": jnp.asarray([4.0])}
+        assert abs(float(optim.global_norm(tree)) - 5.0) < 1e-6
