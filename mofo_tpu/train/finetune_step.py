@@ -1,0 +1,175 @@
+"""Jitted finetuning train / eval steps (plain and BB-focused).
+
+Replaces the reference engines (engine_for_finetuning.py:25-225): mixup on
+device, criterion selection, DeepSpeed/AMP mechanics collapsed into one XLA
+program, EMA, gradient accumulation, acc1/acc5 metrics. The BB-focused
+variant threads per-frame boxes into the model (train_one_epoch_BB_focused,
+engine_for_finetuning.py:504-558).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mofo_tpu.core.config import FinetuneConfig
+from mofo_tpu.ops.mixup import Mixup, one_hot_smooth
+from mofo_tpu.train import losses
+from mofo_tpu.train.optim import global_norm
+from mofo_tpu.train.train_state import TrainState, ema_update
+
+Array = jax.Array
+Batch = Dict[str, Array]
+
+
+def build_criterion(cfg: FinetuneConfig, mixup_active: bool) -> Callable:
+    """Reference criterion selection (run_class_finetuning.py:476-495)."""
+    if mixup_active:
+        return losses.soft_target_cross_entropy  # takes soft targets
+    if cfg.smoothing > 0:
+        return lambda logits, targets: losses.label_smoothing_cross_entropy(
+            logits, targets, cfg.smoothing
+        )
+    return losses.cross_entropy
+
+
+def make_finetune_step(
+    model,
+    tx: optax.GradientTransformation,
+    cfg: FinetuneConfig,
+    lr_schedule: Optional[np.ndarray] = None,
+    bb_focused: bool = False,
+) -> Callable[[TrainState, Batch, Array], Tuple[TrainState, Dict]]:
+    """step_fn(state, batch, rng) -> (state, metrics).
+
+    batch: {'clip': (B,T,H,W,C), 'label': (B,) int} (+ 'boxes': (B,T,4)
+    when bb_focused).
+    """
+    mixup_active = (
+        cfg.mixup > 0
+        or cfg.cutmix > 0.0
+        or cfg.cutmix_minmax is not None
+    )
+    mixup_fn = Mixup(
+        mixup_alpha=cfg.mixup,
+        cutmix_alpha=cfg.cutmix,
+        cutmix_minmax=cfg.cutmix_minmax,
+        prob=cfg.mixup_prob,
+        switch_prob=cfg.mixup_switch_prob,
+        mode=cfg.mixup_mode,
+        label_smoothing=cfg.smoothing,
+        num_classes=cfg.nb_classes,
+    )
+    criterion = build_criterion(cfg, mixup_active)
+    lr_arr = jnp.asarray(lr_schedule) if lr_schedule is not None else None
+
+    def apply_model(params, clip, boxes, rngs):
+        if bb_focused:
+            return model.apply(
+                {"params": params}, clip, boxes, deterministic=False,
+                rngs=rngs,
+            )
+        return model.apply(
+            {"params": params}, clip, deterministic=False, rngs=rngs
+        )
+
+    def micro_loss(params, mbatch, mrng):
+        mix_rng, dropout_rng, droppath_rng = jax.random.split(mrng, 3)
+        clip, label = mbatch["clip"], mbatch["label"]
+        if mixup_active:
+            clip, target = mixup_fn(mix_rng, clip, label)
+        else:
+            target = label
+        logits = apply_model(
+            params,
+            clip,
+            mbatch.get("boxes"),
+            {"dropout": dropout_rng, "droppath": droppath_rng},
+        )
+        return criterion(logits, target)
+
+    def step_fn(state: TrainState, batch: Batch, rng: Array):
+        rng = jax.random.fold_in(rng, state.step)
+
+        if cfg.update_freq > 1:
+            k = cfg.update_freq
+            micro = jax.tree.map(
+                lambda x: x.reshape((k, x.shape[0] // k) + x.shape[1:]),
+                batch,
+            )
+            rngs = jax.random.split(rng, k)
+
+            def scan_body(carry, xs):
+                loss_sum, grad_sum = carry
+                mbatch, mrng = xs
+                loss, grads = jax.value_and_grad(micro_loss)(
+                    state.params, mbatch, mrng
+                )
+                return (
+                    loss_sum + loss,
+                    jax.tree.map(jnp.add, grad_sum, grads),
+                ), None
+
+            zero = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            (loss_sum, grad_sum), _ = jax.lax.scan(
+                scan_body, (jnp.zeros([], jnp.float32), zero), (micro, rngs)
+            )
+            loss = loss_sum / k
+            grads = jax.tree.map(lambda g: g / k, grad_sum)
+        else:
+            loss, grads = jax.value_and_grad(micro_loss)(
+                state.params, batch, rng
+            )
+
+        grad_norm = global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None:
+            ema = ema_update(ema, params, cfg.model_ema_decay)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema,
+        )
+        metrics = {"loss": loss, "grad_norm": grad_norm}
+        if lr_arr is not None:
+            idx = jnp.minimum(state.step, lr_arr.shape[0] - 1)
+            metrics["lr"] = lr_arr[idx]
+        return new_state, metrics
+
+    return step_fn
+
+
+def make_eval_step(
+    model, cfg: FinetuneConfig, bb_focused: bool = False
+) -> Callable[[Any, Batch], Dict]:
+    """Validation step (validation_one_epoch, engine_for_finetuning.py:
+    172-225): CE loss + acc1/acc5. Also returns logits so callers can run
+    the multi-view merge or EK marginalization."""
+
+    def eval_fn(params, batch: Batch) -> Dict:
+        clip, label = batch["clip"], batch["label"]
+        if bb_focused:
+            logits = model.apply(
+                {"params": params}, clip, batch["boxes"]
+            )
+        else:
+            logits = model.apply({"params": params}, clip)
+        loss = losses.cross_entropy(logits, label)
+        acc1, acc5 = losses.accuracy(logits, label, topk=(1, 5))
+        return {
+            "loss": loss,
+            "acc1": acc1,
+            "acc5": acc5,
+            "logits": logits.astype(jnp.float32),
+        }
+
+    return eval_fn

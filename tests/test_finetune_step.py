@@ -1,0 +1,186 @@
+"""Finetune train/eval steps: overfit a tiny classifier, BB-focused path,
+multi-view aggregation, EK marginalization."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mofo_tpu.core.config import FinetuneConfig
+from mofo_tpu.eval import multiview
+from mofo_tpu.models import create_model
+from mofo_tpu.train import optim, schedules
+from mofo_tpu.train.finetune_step import make_eval_step, make_finetune_step
+from mofo_tpu.train.train_state import TrainState
+
+
+def tiny_cfg(**kw):
+    cfg = FinetuneConfig(
+        input_size=32,
+        num_frames=4,
+        nb_classes=4,
+        batch_size=8,
+        mixup=0.0,
+        cutmix=0.0,
+        smoothing=0.1,
+        drop_path=0.0,
+        reprob=0.0,
+    )
+    return dataclasses.replace(cfg, **kw)
+
+
+def tiny_classifier(cfg, **kw):
+    return create_model(
+        "vit_base_patch16_224",
+        img_size=cfg.input_size,
+        all_frames=cfg.num_frames,
+        embed_dim=32,
+        depth=2,
+        num_heads=2,
+        num_classes=cfg.nb_classes,
+        init_scale=0.001,
+        drop_path_rate=cfg.drop_path,
+        **kw,
+    )
+
+
+def class_colored_batch(cfg, B=8, seed=0):
+    """Trivially separable data: class k's clips have mean pixel ~k/4."""
+    rng = np.random.RandomState(seed)
+    labels = rng.randint(0, cfg.nb_classes, B)
+    clips = (
+        labels[:, None, None, None, None] / cfg.nb_classes
+        + 0.05 * rng.randn(B, cfg.num_frames, cfg.input_size,
+                           cfg.input_size, 3)
+    ).astype(np.float32)
+    return {"clip": jnp.asarray(clips), "label": jnp.asarray(labels)}
+
+
+class TestFinetuneStep:
+    def test_overfit(self):
+        cfg = tiny_cfg()
+        model = tiny_classifier(cfg)
+        batch = class_colored_batch(cfg)
+        params = model.init(jax.random.PRNGKey(0), batch["clip"])["params"]
+        lr = schedules.cosine_schedule(3e-3, 1e-4, 8, 10)
+        tx = optim.create_optimizer(
+            params, lr_schedule=lr, betas=(0.9, 0.999), weight_decay=0.05,
+            layer_decay=0.75, depth=2,
+        )
+        state = TrainState.create(params, tx)
+        step = jax.jit(make_finetune_step(model, tx, cfg, lr))
+        rng = jax.random.PRNGKey(1)
+        losses_seq = []
+        for _ in range(60):
+            state, metrics = step(state, batch, rng)
+            losses_seq.append(float(metrics["loss"]))
+        assert losses_seq[-1] < losses_seq[0] * 0.7, (
+            losses_seq[:3], losses_seq[-3:])
+
+        ev = jax.jit(make_eval_step(model, cfg))
+        out = ev(state.params, batch)
+        assert float(out["acc1"]) > 70.0
+
+    def test_mixup_path_runs(self):
+        cfg = tiny_cfg(mixup=0.8, cutmix=1.0)
+        model = tiny_classifier(cfg)
+        batch = class_colored_batch(cfg)
+        params = model.init(jax.random.PRNGKey(0), batch["clip"])["params"]
+        lr = schedules.cosine_schedule(1e-3, 1e-4, 8, 10)
+        tx = optim.create_optimizer(params, lr_schedule=lr)
+        state = TrainState.create(params, tx)
+        step = jax.jit(make_finetune_step(model, tx, cfg, lr))
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_bb_focused_step(self):
+        cfg = tiny_cfg()
+        model = create_model(
+            "vit_base_patch16_224_BB_focused",
+            img_size=cfg.input_size,
+            all_frames=cfg.num_frames,
+            embed_dim=30,
+            depth=2,
+            num_heads=2,
+            num_classes=cfg.nb_classes,
+            init_scale=0.001,
+            fusing_method="MCA",
+            mca_num_heads=3,
+        )
+        batch = class_colored_batch(cfg)
+        batch["boxes"] = jnp.tile(
+            jnp.array([4.0, 4.0, 24.0, 24.0]), (8, cfg.num_frames, 1)
+        )
+        params = model.init(
+            jax.random.PRNGKey(0), batch["clip"], batch["boxes"]
+        )["params"]
+        lr = schedules.cosine_schedule(1e-3, 1e-4, 8, 10)
+        tx = optim.create_optimizer(params, lr_schedule=lr)
+        state = TrainState.create(params, tx)
+        step = jax.jit(
+            make_finetune_step(model, tx, cfg, lr, bb_focused=True)
+        )
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        ev = jax.jit(make_eval_step(model, cfg, bb_focused=True))
+        out = ev(state.params, batch)
+        assert out["logits"].shape == (8, 4)
+
+
+class TestMultiView:
+    def test_aggregation_dedupe_and_merge(self):
+        agg = multiview.MultiViewAggregator()
+        # video A: 2 views; duplicate (chunk, split) must be dropped
+        lg1 = np.array([2.0, 0.0, 0.0])
+        lg2 = np.array([0.0, 1.0, 0.0])
+        agg.add(["A", "A", "A"], [0, 1, 1], [0, 0, 0],
+                np.stack([lg1, lg2, lg2 * 100]), [0, 0, 0])
+        agg.add(["B"], [0], [0], np.array([[0.0, 0.0, 3.0]]), [2])
+        top1, top5, preds = agg.finalize()
+        # A: mean(softmax(lg1), softmax(lg2)) -> class 0 wins
+        assert preds["A"] == 0 and preds["B"] == 2
+        assert top1 == 100.0 and top5 == 100.0
+
+    def test_top1_counts_errors(self):
+        agg = multiview.MultiViewAggregator()
+        agg.add(["A"], [0], [0], np.array([[5.0, 0.0]]), [1])
+        agg.add(["B"], [0], [0], np.array([[5.0, 0.0]]), [0])
+        top1, _, _ = agg.finalize()
+        assert abs(top1 - 50.0) < 1e-6
+
+    def test_allgather_style_merge(self):
+        a1 = multiview.MultiViewAggregator()
+        a1.add(["A"], [0], [0], np.array([[1.0, 0.0]]), [0])
+        a2 = multiview.MultiViewAggregator()
+        a2.add(["A"], [1], [0], np.array([[1.0, 0.0]]), [0])
+        merged = multiview.MultiViewAggregator.from_parts(
+            [a1.state_arrays(), a2.state_arrays()]
+        )
+        feats, _ = merged.merge_feats()
+        assert len(feats) == 1 and feats["A"].shape == (2,)
+
+
+class TestEKMarginalization:
+    def test_marginalize(self):
+        # 4 actions with verb ids [0, 0, 1, 2], noun ids [5, 3, 3, 0]
+        pairs = [(0, 5), (0, 3), (1, 3), (2, 0)]
+        vi = multiview.get_marginal_indexes(pairs, "verb")
+        assert [list(x) for x in vi] == [[0, 1], [2], [3]]
+        ni = multiview.get_marginal_indexes(pairs, "noun")
+        assert list(ni[3]) == [1, 2]
+        probs = np.array([[0.1, 0.2, 0.3, 0.4]])
+        vp = multiview.marginalize(probs, vi)
+        np.testing.assert_allclose(vp, [[0.3, 0.3, 0.4]], atol=1e-9)
+
+    def test_empty_verb_fallback(self):
+        pairs = [(0, 0), (2, 1)]  # verb 1 missing
+        vi = multiview.get_marginal_indexes(pairs, "verb")
+        assert list(vi[1]) == [0]  # reference fallback: np.array([0])
+
+    def test_action_label_space_lexicographic(self):
+        pairs = [(2, 1), (10, 1), (2, 3)]
+        vn_list, mapping = multiview.action_label_space(pairs)
+        # sorted() on strings: '10:1' < '2:1' < '2:3'
+        assert vn_list == ["10:1", "2:1", "2:3"]
+        assert mapping["10:1"] == 0
