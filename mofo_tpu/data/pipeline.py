@@ -1,0 +1,313 @@
+"""Host-side input pipeline: datasets, per-host sharding, and a prefetching
+loader feeding the device.
+
+Replaces torch DataLoader + DistributedSampler (run_mae_pretraining.py:
+187-206). Host work is intentionally thin — decode fixed-size uint8 frames
+(the native decoder scales during decode) and stack; all augmentation runs
+batched on device (mofo_tpu.ops.augment).
+
+Components:
+  ShardedSampler     — DistributedSampler parity: per-epoch seeded
+                       permutation, padded to a multiple of world size,
+                       strided split per process
+  PretrainClipDataset  — file list + TSN sampling (+ optional motion boxes)
+  FinetuneClipDataset  — cls datasets: dense (Kinetics) / uniform (SSV2) /
+                       timestamp (EK) samplers, train/val/test modes with
+                       (chunk, split) view expansion for test
+  SyntheticClipDataset — random clips for tests/benchmarks
+  PrefetchLoader     — background-thread batching + jax.device_put
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from mofo_tpu.data.filelist import ClipEntry, MotionBoxIndex
+from mofo_tpu.data import sampling
+from mofo_tpu.data.video_reader import VideoReader
+
+
+class ShardedSampler:
+    """Per-epoch shuffled, per-process strided index sampler
+    (torch DistributedSampler semantics: pad to a multiple of world size
+    by wrapping, then take rank::world)."""
+
+    def __init__(
+        self,
+        n: int,
+        rank: int = 0,
+        world: int = 1,
+        shuffle: bool = True,
+        seed: int = 0,
+    ):
+        self.n = n
+        self.rank = rank
+        self.world = world
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def indices(self) -> np.ndarray:
+        if self.shuffle:
+            g = np.random.RandomState(self.seed + self.epoch)
+            order = g.permutation(self.n)
+        else:
+            order = np.arange(self.n)
+        total = ((self.n + self.world - 1) // self.world) * self.world
+        if total > self.n:
+            order = np.concatenate([order, order[: total - self.n]])
+        return order[self.rank :: self.world]
+
+
+@dataclasses.dataclass
+class PretrainClipDataset:
+    """Decoded clips for MAE pretraining (VideoMAE / VideoMAE_BB datasets,
+    kinetics.py:377-561, 996-1064). Yields uint8 frames at a fixed decoded
+    size; masking and augmentation happen on device."""
+
+    entries: Sequence[ClipEntry]
+    num_frames: int = 16
+    sampling_rate: int = 2
+    decode_size: Tuple[int, int] = (256, 320)  # (h, w)
+    boxes: Optional[MotionBoxIndex] = None
+    pin_seed: bool = False  # reproduce the reference's np.seed(10) quirk
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        entry = self.entries[i]
+        h, w = self.decode_size
+        with VideoReader(entry.path, width=w, height=h) as vr:
+            duration = len(vr)
+            ids = sampling.tsn_frame_ids(
+                duration,
+                skip_length=self.num_frames * self.sampling_rate,
+                new_step=self.sampling_rate,
+                pin_seed=self.pin_seed,
+                rng=np.random,
+            )
+            frames = vr.get_batch(ids)
+        out = {"clip": frames}
+        if self.boxes is not None:
+            # Box JSONs from the offline factory are in the factory's
+            # canonical pixel space; configure decode_size to match it
+            # (the reference hardcodes both to the same preprocessed
+            # resolution, kinetics.py:915-917).
+            key = MotionBoxIndex.video_key(entry.path)
+            out["boxes"] = self.boxes.get(key, ids)
+        return out
+
+
+_CLS_SAMPLERS = ("dense", "uniform", "timestamp")
+
+
+@dataclasses.dataclass
+class FinetuneClipDataset:
+    """Classification clips (VideoClsDataset / SSVideoClsDataset /
+    VideoClassyDataset). mode: train | validation | test. In test mode the
+    sample list is pre-expanded x (test_num_segment * test_num_crop) with
+    (chunk_nb, split_nb) tags (ssv2.py:68-77)."""
+
+    entries: Sequence[ClipEntry]
+    mode: str = "train"
+    sampler: str = "uniform"  # dense | uniform
+    num_frames: int = 16
+    frame_sample_rate: int = 4  # dense sampler stride
+    decode_size: Tuple[int, int] = (256, 320)
+    test_num_segment: int = 2
+    test_num_crop: int = 3
+    boxes: Optional[MotionBoxIndex] = None
+
+    def __post_init__(self):
+        assert self.sampler in ("dense", "uniform"), self.sampler
+        if self.mode == "test":
+            self._views = [
+                (i, c, s)
+                for i in range(len(self.entries))
+                for c in range(self.test_num_segment)
+                for s in range(self.test_num_crop)
+            ]
+
+    def __len__(self) -> int:
+        if self.mode == "test":
+            return len(self._views)
+        return len(self.entries)
+
+    def _frame_ids(self, duration: int, chunk_nb: int = 0) -> np.ndarray:
+        if self.mode == "train":
+            if self.sampler == "dense":
+                return sampling.dense_train_indices(
+                    duration,
+                    clip_len=self.num_frames,
+                    frame_sample_rate=self.frame_sample_rate,
+                    rng=np.random,
+                )
+            return sampling.uniform_train_indices(
+                duration, num_segment=self.num_frames, rng=np.random
+            )
+        if self.mode == "validation":
+            if self.sampler == "dense":
+                return sampling.dense_test_indices(
+                    duration,
+                    clip_len=self.num_frames,
+                    frame_sample_rate=self.frame_sample_rate,
+                )
+            # SSV2 val: uniform mid-segment ticks
+            tick = duration / float(self.num_frames)
+            return np.asarray(
+                [int(tick / 2.0 + tick * x) for x in range(self.num_frames)],
+                dtype=np.int64,
+            )
+        # test: the tick grid; caller's chunk picks [chunk_nb::2]
+        grid = sampling.uniform_test_indices(
+            duration,
+            num_segment=self.num_frames,
+            test_num_segment=self.test_num_segment,
+        )
+        return grid[chunk_nb :: self.test_num_segment]
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        if self.mode == "test":
+            entry_idx, chunk_nb, split_nb = self._views[i]
+        else:
+            entry_idx, chunk_nb, split_nb = i, 0, 0
+        entry = self.entries[entry_idx]
+        h, w = self.decode_size
+        with VideoReader(entry.path, width=w, height=h) as vr:
+            ids = self._frame_ids(len(vr), chunk_nb)
+            ids = np.clip(ids, 0, len(vr) - 1)
+            frames = vr.get_batch(ids)
+        out = {
+            "clip": frames,
+            "label": np.int32(entry.label),
+            "video_idx": np.int32(entry_idx),
+            "chunk_nb": np.int32(chunk_nb),
+            "split_nb": np.int32(split_nb),
+        }
+        if self.boxes is not None:
+            key = MotionBoxIndex.video_key(entry.path)
+            out["boxes"] = self.boxes.get(key, ids)
+        return out
+
+
+@dataclasses.dataclass
+class SyntheticClipDataset:
+    """Random uint8 clips (+labels/boxes) for tests and benchmarks."""
+
+    n: int = 64
+    num_frames: int = 16
+    decode_size: Tuple[int, int] = (256, 320)
+    num_classes: int = 10
+    with_boxes: bool = False
+    seed: int = 0
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        rng = np.random.RandomState(self.seed + i)
+        h, w = self.decode_size
+        out = {
+            "clip": rng.randint(
+                0, 256, (self.num_frames, h, w, 3), dtype=np.uint8
+            ),
+            "label": np.int32(rng.randint(self.num_classes)),
+            "video_idx": np.int32(i),
+            "chunk_nb": np.int32(0),
+            "split_nb": np.int32(0),
+        }
+        if self.with_boxes:
+            x1 = rng.randint(0, w // 2)
+            y1 = rng.randint(0, h // 2)
+            box = [x1, y1, x1 + rng.randint(8, w // 2),
+                   y1 + rng.randint(8, h // 2)]
+            out["boxes"] = np.tile(
+                np.asarray(box, np.float32), (self.num_frames, 1)
+            )
+        return out
+
+
+def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples]) for k in keys}
+
+
+class PrefetchLoader:
+    """Background-thread loader: sample -> batch -> (optionally sharded)
+    device_put. Replaces DataLoader(num_workers, prefetch) for the thin
+    host pipeline. drop_last semantics like the reference train loaders."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        sampler: Optional[ShardedSampler] = None,
+        sharding=None,
+        prefetch: int = 2,
+        drop_last: bool = True,
+        to_device: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler or ShardedSampler(len(dataset),
+                                                 shuffle=False)
+        self.sharding = sharding
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.to_device = to_device
+
+    def __len__(self) -> int:
+        n = len(self.sampler.indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict]:
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                idxs = self.sampler.indices()
+                batch_count = len(self)
+                for b in range(batch_count):
+                    if stop.is_set():
+                        return
+                    sel = idxs[b * self.batch_size:(b + 1) * self.batch_size]
+                    batch = collate([self.dataset[int(i)] for i in sel])
+                    q.put(batch)
+            except Exception as e:  # surface errors to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                if self.to_device:
+                    if self.sharding is not None:
+                        item = jax.tree.map(
+                            lambda x: jax.device_put(x, self.sharding),
+                            item,
+                        )
+                    else:
+                        item = jax.tree.map(jax.device_put, item)
+                yield item
+        finally:
+            stop.set()
