@@ -1,0 +1,519 @@
+"""Classification finetuning runner (plain and MOFO BB-focused).
+
+CLI parity with run_class_finetuning.py:31-214 / run_class_finetuning_BB.py
+(flag names, defaults, flow): build train/val/test datasets, mixup,
+initialize the backbone from a pretraining checkpoint, layer-wise LR decay,
+cosine schedules, per-epoch validation with best-checkpoint tracking and
+early stopping, then multi-view final test with softmax-mean merge (and
+EK-100 verb/noun marginalization when an action_to_vn map is given).
+
+Usage:
+  python -m mofo_tpu.cli.finetune --data_path train.csv --val_path val.csv \
+      --finetune out/checkpoint-799 --nb_classes 174 --output_dir ft/
+  python -m mofo_tpu.cli.finetune --synthetic 64 --nb_classes 10 ...  # smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mofo_tpu.core import distributed
+from mofo_tpu.core.config import FinetuneConfig, MeshSpec, OptimizerConfig
+
+
+def get_args(argv=None, bb_defaults: bool = False):
+    p = argparse.ArgumentParser("MOFO-TPU finetuning", add_help=True)
+    p.add_argument("--batch_size", default=10, type=int)
+    p.add_argument("--epochs", default=100, type=int)
+    p.add_argument("--update_freq", default=1, type=int)
+    p.add_argument("--save_ckpt_freq", default=10, type=int)
+    # model
+    default_model = (
+        "vit_base_patch16_224_BB_focused" if bb_defaults
+        else "vit_base_patch16_224"
+    )
+    p.add_argument("--model", default=default_model, type=str)
+    p.add_argument("--fusing_mode", default="MCA", type=str,
+                   choices=["MCA", "soft_attn", "weighted_mean", "org"])
+    p.add_argument("--input_size", default=224, type=int)
+    p.add_argument("--num_frames", default=16, type=int)
+    p.add_argument("--sampling_rate", default=4, type=int)
+    p.add_argument("--tubelet_size", default=2, type=int)
+    p.add_argument("--drop", default=0.0, type=float)
+    p.add_argument("--attn_drop_rate", default=0.0, type=float)
+    p.add_argument("--drop_path", default=0.1, type=float)
+    p.add_argument("--init_scale", default=0.001, type=float)
+    p.add_argument("--use_mean_pooling", default=True, type=bool)
+    p.add_argument("--nb_classes", default=174, type=int)
+    p.add_argument("--model_ema", action="store_true", default=False)
+    p.add_argument("--model_ema_decay", default=0.9999, type=float)
+    # optimizer
+    p.add_argument("--opt", default="adamw", type=str)
+    p.add_argument("--opt_eps", default=1e-8, type=float)
+    p.add_argument("--opt_betas", default=[0.9, 0.999], type=float,
+                   nargs="+")
+    p.add_argument("--clip_grad", default=None, type=float)
+    p.add_argument("--weight_decay", default=0.05, type=float)
+    p.add_argument("--weight_decay_end", default=None, type=float)
+    p.add_argument("--lr", default=5e-4, type=float)
+    p.add_argument("--layer_decay", default=0.75, type=float)
+    p.add_argument("--warmup_lr", default=1e-6, type=float)
+    p.add_argument("--min_lr", default=1e-6, type=float)
+    p.add_argument("--warmup_epochs", default=5, type=int)
+    p.add_argument("--warmup_steps", default=-1, type=int)
+    # augmentation
+    p.add_argument("--color_jitter", default=0.4, type=float)
+    p.add_argument("--aa", default="rand-m7-n4-mstd0.5-inc1", type=str)
+    p.add_argument("--smoothing", default=0.1, type=float)
+    p.add_argument("--reprob", default=0.25, type=float)
+    p.add_argument("--mixup", default=0.8, type=float)
+    p.add_argument("--cutmix", default=1.0, type=float)
+    p.add_argument("--mixup_prob", default=1.0, type=float)
+    p.add_argument("--mixup_switch_prob", default=0.5, type=float)
+    p.add_argument("--mixup_mode", default="batch", type=str)
+    p.add_argument("--no_flip", action="store_true",
+                   help="disable hflip (SSV2/EK convention)")
+    # eval
+    p.add_argument("--test_num_segment", default=2, type=int)
+    p.add_argument("--test_num_crop", default=3, type=int)
+    p.add_argument("--dist_eval", action="store_true", default=True)
+    p.add_argument("--eval", action="store_true",
+                   help="evaluation only")
+    p.add_argument("--early_stop_patience", default=-1, type=int,
+                   help="stop after N epochs without val-loss improvement")
+    # checkpoints
+    p.add_argument("--finetune", default="",
+                   help="pretrain checkpoint (orbax dir or torch .pth)")
+    p.add_argument("--resume", default="")
+    p.add_argument("--auto_resume", action="store_true", default=True)
+    p.add_argument("--start_epoch", default=0, type=int)
+    # data
+    p.add_argument("--data_path", default=None, type=str)
+    p.add_argument("--val_path", default=None, type=str)
+    p.add_argument("--test_path", default=None, type=str)
+    p.add_argument("--bb_json", default=None, type=str)
+    p.add_argument("--data_set", default="SSV2", type=str,
+                   choices=["SSV2", "Kinetics-400", "UCF101", "HMDB51",
+                            "EK100"])
+    p.add_argument("--synthetic", default=0, type=int)
+    p.add_argument("--decode_height", default=256, type=int)
+    p.add_argument("--decode_width", default=320, type=int)
+    # misc
+    p.add_argument("--output_dir", default="")
+    p.add_argument("--log_dir", default=None)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--mesh_data", default=-1, type=int)
+    p.add_argument("--mesh_fsdp", default=1, type=int)
+    p.add_argument("--mesh_model", default=1, type=int)
+    return p.parse_args(argv)
+
+
+def build_config(args) -> FinetuneConfig:
+    return FinetuneConfig(
+        model=args.model,
+        nb_classes=args.nb_classes,
+        input_size=args.input_size,
+        num_frames=args.num_frames,
+        tubelet_size=args.tubelet_size,
+        drop=args.drop,
+        attn_drop_rate=args.attn_drop_rate,
+        drop_path=args.drop_path,
+        init_scale=args.init_scale,
+        use_mean_pooling=args.use_mean_pooling,
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        update_freq=args.update_freq,
+        save_ckpt_freq=args.save_ckpt_freq,
+        seed=args.seed,
+        dtype=args.dtype,
+        model_ema=args.model_ema,
+        model_ema_decay=args.model_ema_decay,
+        aa=args.aa,
+        smoothing=args.smoothing,
+        reprob=args.reprob,
+        mixup=args.mixup,
+        cutmix=args.cutmix,
+        mixup_prob=args.mixup_prob,
+        mixup_switch_prob=args.mixup_switch_prob,
+        mixup_mode=args.mixup_mode,
+        test_num_segment=args.test_num_segment,
+        test_num_crop=args.test_num_crop,
+        fusing_mode=args.fusing_mode,
+        optimizer=OptimizerConfig(
+            opt=args.opt,
+            lr=args.lr,
+            min_lr=args.min_lr,
+            warmup_lr=args.warmup_lr,
+            warmup_epochs=args.warmup_epochs,
+            warmup_steps=args.warmup_steps,
+            weight_decay=args.weight_decay,
+            weight_decay_end=args.weight_decay_end,
+            opt_betas=tuple(args.opt_betas),
+            opt_eps=args.opt_eps,
+            clip_grad=args.clip_grad,
+            layer_decay=args.layer_decay,
+        ),
+        mesh=MeshSpec(args.mesh_data, args.mesh_fsdp, args.mesh_model),
+    )
+
+
+def _load_pretrain_encoder(path: str):
+    """Load a pretrain checkpoint's encoder tree from either an orbax
+    TrainState dir or a torch .pth (run_class_finetuning.py:350-383)."""
+    from mofo_tpu.train import checkpoint as ckpt
+
+    if path.endswith(".pth") or path.endswith(".pt"):
+        sd = ckpt.load_torch_checkpoint(path)
+        return ckpt.import_torch_pretrain(sd)["encoder"]
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    tree = ckptr.restore(os.path.abspath(path))
+    params = tree["params"] if "params" in tree else tree
+    return params["encoder"]
+
+
+def main(args=None):
+    if args is None:
+        args = get_args()
+    distributed.init_distributed_mode()
+    log = distributed.setup_printing()
+    cfg = build_config(args)
+    bb_focused = "BB_focused" in cfg.model
+    log(f"config: {cfg}")
+
+    from mofo_tpu.data import pipeline as P
+    from mofo_tpu.data.filelist import MotionBoxIndex, read_setting_file
+    from mofo_tpu.eval.multiview import MultiViewAggregator
+    from mofo_tpu.models import create_model
+    from mofo_tpu.ops import augment as A
+    from mofo_tpu.parallel import mesh as mesh_lib
+    from mofo_tpu.train import checkpoint as ckpt
+    from mofo_tpu.train import metrics as M
+    from mofo_tpu.train import optim, schedules
+    from mofo_tpu.train.finetune_step import (
+        make_eval_step,
+        make_finetune_step,
+    )
+    from mofo_tpu.train.train_state import TrainState
+
+    mesh = mesh_lib.build_mesh(
+        mesh_lib.MeshConfig(cfg.mesh.data, cfg.mesh.fsdp, cfg.mesh.model)
+    )
+    n_devices = jax.device_count()
+    global_batch = cfg.batch_size * n_devices
+
+    # ----- datasets -----
+    sampler_kind = "dense" if args.data_set in (
+        "Kinetics-400", "UCF101", "HMDB51") else "uniform"
+    decode_size = (args.decode_height, args.decode_width)
+    boxes = (
+        MotionBoxIndex.from_file(args.bb_json) if args.bb_json else None
+    )
+    if bb_focused and boxes is None and not args.synthetic:
+        raise SystemExit("BB-focused model requires --bb_json")
+    if args.synthetic:
+        mk = lambda mode: P.SyntheticClipDataset(
+            n=args.synthetic,
+            num_frames=cfg.num_frames,
+            decode_size=decode_size,
+            num_classes=cfg.nb_classes,
+            with_boxes=bb_focused,
+        )
+        train_ds, val_ds = mk("train"), mk("validation")
+        test_ds = P.SyntheticClipDataset(
+            n=args.synthetic, num_frames=cfg.num_frames,
+            decode_size=decode_size, num_classes=cfg.nb_classes,
+            with_boxes=bb_focused,
+        )
+    else:
+        mk = lambda path, mode: P.FinetuneClipDataset(
+            entries=read_setting_file(path),
+            mode=mode,
+            sampler=sampler_kind,
+            num_frames=cfg.num_frames,
+            frame_sample_rate=args.sampling_rate,
+            decode_size=decode_size,
+            test_num_segment=cfg.test_num_segment,
+            test_num_crop=cfg.test_num_crop,
+            boxes=boxes,
+        )
+        train_ds = mk(args.data_path, "train")
+        val_ds = mk(args.val_path or args.data_path, "validation")
+        test_ds = mk(args.test_path or args.val_path or args.data_path,
+                     "test")
+
+    rank, world = distributed.process_index(), distributed.process_count()
+    per_host = global_batch // world
+    train_sampler = P.ShardedSampler(len(train_ds), rank, world,
+                                     seed=cfg.seed)
+    train_loader = P.PrefetchLoader(
+        train_ds, per_host, train_sampler,
+        sharding=mesh_lib.batch_sharding(mesh),
+    )
+    val_loader = P.PrefetchLoader(
+        val_ds, per_host,
+        P.ShardedSampler(len(val_ds), rank, world, shuffle=False),
+        sharding=mesh_lib.batch_sharding(mesh), drop_last=False,
+    )
+    steps_per_epoch = max(len(train_loader), 1)
+
+    # ----- model -----
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    model_kwargs = dict(
+        img_size=cfg.input_size,
+        all_frames=cfg.num_frames,
+        tubelet_size=cfg.tubelet_size,
+        num_classes=cfg.nb_classes,
+        drop_rate=cfg.drop,
+        attn_drop_rate=cfg.attn_drop_rate,
+        drop_path_rate=cfg.drop_path,
+        init_scale=cfg.init_scale,
+        use_mean_pooling=cfg.use_mean_pooling,
+        dtype=dtype,
+    )
+    if bb_focused:
+        model_kwargs["fusing_method"] = cfg.fusing_mode
+    model = create_model(cfg.model, **model_kwargs)
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    init_clip = jnp.zeros(
+        (1, cfg.num_frames, cfg.input_size, cfg.input_size, 3)
+    )
+    if bb_focused:
+        init_boxes = jnp.zeros((1, cfg.num_frames, 4))
+        params = model.init(rng, init_clip, init_boxes)["params"]
+    else:
+        params = model.init(rng, init_clip)["params"]
+    log(f"params: {sum(p.size for p in jax.tree.leaves(params))/1e6:.2f}M")
+
+    if args.finetune:
+        encoder = _load_pretrain_encoder(args.finetune)
+        params = ckpt.finetune_init_from_pretrain(params, encoder)
+        log(f"initialized backbone from {args.finetune}")
+
+    # ----- optimizer -----
+    lr = schedules.scaled_lr(cfg.optimizer.lr, global_batch)
+    lr_sched = schedules.cosine_schedule(
+        lr, cfg.optimizer.min_lr, cfg.epochs, steps_per_epoch,
+        cfg.optimizer.warmup_epochs, cfg.optimizer.warmup_lr,
+        cfg.optimizer.warmup_steps,
+    )
+    wd_sched = None
+    if cfg.optimizer.weight_decay_end is not None:
+        wd_sched = schedules.cosine_schedule(
+            cfg.optimizer.weight_decay, cfg.optimizer.weight_decay_end,
+            cfg.epochs, steps_per_epoch,
+        )
+    depth = getattr(model, "depth", 12)
+    tx = optim.create_optimizer(
+        params,
+        opt=cfg.optimizer.opt,
+        lr_schedule=lr_sched,
+        wd_schedule=wd_sched,
+        weight_decay=cfg.optimizer.weight_decay,
+        betas=cfg.optimizer.opt_betas,
+        eps=cfg.optimizer.opt_eps,
+        clip_grad=cfg.optimizer.clip_grad,
+        layer_decay=cfg.optimizer.layer_decay,
+        depth=depth,
+    )
+    params = mesh_lib.shard_params(params, mesh)
+    state = TrainState.create(params, tx, use_ema=cfg.model_ema)
+
+    start_epoch = args.start_epoch
+    if args.auto_resume and args.output_dir:
+        resumed = ckpt.auto_resume(args.output_dir, state)
+        if resumed is not None:
+            state, start_epoch = resumed
+            start_epoch += 1
+            log(f"auto-resumed at epoch {start_epoch}")
+
+    # ----- jitted programs -----
+    flip = not (args.no_flip or args.data_set in ("SSV2", "EK100"))
+
+    @jax.jit
+    def train_augment(arng, batch):
+        clips, boxes_t = A.finetune_augment(
+            arng, batch["clip"], out_size=cfg.input_size, aa=cfg.aa,
+            flip=flip, reprob=cfg.reprob, boxes=batch.get("boxes"),
+        )
+        out = {"clip": clips, "label": batch["label"]}
+        if boxes_t is not None:
+            out["boxes"] = boxes_t
+        return out
+
+    @jax.jit
+    def val_augment(batch):
+        clips, boxes_t = A.eval_augment(
+            batch["clip"], out_size=cfg.input_size,
+            short_side=cfg.input_size, boxes=batch.get("boxes"),
+        )
+        out = {"clip": clips, "label": batch["label"]}
+        if boxes_t is not None:
+            out["boxes"] = boxes_t
+        return out
+
+    step_fn = jax.jit(
+        make_finetune_step(model, tx, cfg, lr_sched,
+                           bb_focused=bb_focused),
+        donate_argnums=(0,),
+    )
+    eval_fn = jax.jit(make_eval_step(model, cfg, bb_focused=bb_focused))
+
+    jsonl = M.JsonlLogger(args.output_dir, distributed.is_main_process())
+    run_rng = jax.random.PRNGKey(cfg.seed + 1)
+
+    def run_validation(params):
+        logger = M.MetricLogger(print_fn=log)
+        for batch in val_loader:
+            batch = val_augment(batch)
+            out = eval_fn(params, batch)
+            logger.update(
+                loss=float(out["loss"]), acc1=float(out["acc1"]),
+                acc5=float(out["acc5"]),
+            )
+        stats = logger.epoch_stats()
+        log(f"* Acc@1 {stats.get('acc1', 0):.3f} "
+            f"Acc@5 {stats.get('acc5', 0):.3f} "
+            f"loss {stats.get('loss', 0):.3f}")
+        return stats
+
+    if args.eval:
+        stats = run_validation(state.params)
+        return stats
+
+    # ----- train loop (run_class_finetuning.py:529-608) -----
+    best_acc1 = -1.0
+    best_val_loss = float("inf")
+    stall = 0
+    t0 = time.time()
+    for epoch in range(start_epoch, cfg.epochs):
+        train_sampler.set_epoch(epoch)
+        logger = M.MetricLogger(print_fn=log)
+        header = f"Epoch: [{epoch}]"
+        for batch in logger.log_every(train_loader, 10, header,
+                                      total=steps_per_epoch):
+            arng = jax.random.fold_in(run_rng, int(state.step) * 2 + 1)
+            batch = train_augment(arng, batch)
+            state, m = step_fn(state, batch, run_rng)
+            logger.update(loss=float(m["loss"]),
+                          grad_norm=float(m["grad_norm"]),
+                          lr=float(m.get("lr", 0.0)))
+            if not np.isfinite(float(m["loss"])):
+                log(f"Loss is {float(m['loss'])}, stopping training")
+                sys.exit(2)
+        val_stats = run_validation(state.params)
+        stats = {f"train_{k}": v for k, v in logger.epoch_stats().items()}
+        stats.update({f"val_{k}": v for k, v in val_stats.items()})
+        stats["epoch"] = epoch
+        jsonl.write(stats)
+        if args.output_dir and distributed.is_main_process():
+            if (epoch + 1) % cfg.save_ckpt_freq == 0 or \
+               epoch + 1 == cfg.epochs:
+                ckpt.save_checkpoint(args.output_dir, state, step=epoch)
+            if val_stats.get("acc1", 0.0) > best_acc1:
+                best_acc1 = val_stats["acc1"]
+                ckpt.save_checkpoint(args.output_dir, state, step=epoch,
+                                     name="checkpoint-best")
+                log(f"new best acc1 {best_acc1:.3f}")
+        # early stopping on val loss (run_class_finetuning.py:582-598)
+        if args.early_stop_patience > 0:
+            if val_stats.get("loss", 0.0) < best_val_loss - 1e-6:
+                best_val_loss = val_stats["loss"]
+                stall = 0
+            else:
+                stall += 1
+                if stall >= args.early_stop_patience:
+                    log(f"early stopping at epoch {epoch}")
+                    break
+    log(f"Training time {time.time()-t0:.0f}s; best acc1 {best_acc1:.3f}")
+
+    # ----- final multi-view test (engine_for_finetuning.py:227-348) -----
+    if args.output_dir:
+        best = os.path.join(args.output_dir, "checkpoint-best")
+        if os.path.exists(best):
+            state = ckpt.restore_checkpoint(best, state)
+            log("loaded checkpoint-best for final test")
+    final_test(
+        model, state.params, test_ds, cfg, mesh,
+        bb_focused=bb_focused, log=log, per_host=per_host,
+    )
+    return state
+
+
+def final_test(model, params, test_ds, cfg, mesh, bb_focused, log,
+               per_host):
+    """Multi-view test: iterate (chunk, crop) expanded views, aggregate
+    softmax-mean per video."""
+    from mofo_tpu.data import pipeline as P
+    from mofo_tpu.eval.multiview import MultiViewAggregator
+    from mofo_tpu.ops import augment as A
+    from mofo_tpu.parallel import mesh as mesh_lib
+    from mofo_tpu.train.finetune_step import make_eval_step
+    from mofo_tpu.core import distributed
+
+    rank, world = distributed.process_index(), distributed.process_count()
+    loader = P.PrefetchLoader(
+        test_ds, per_host,
+        P.ShardedSampler(len(test_ds), rank, world, shuffle=False),
+        sharding=mesh_lib.batch_sharding(mesh), drop_last=False,
+    )
+    eval_fn = jax.jit(make_eval_step(model, cfg, bb_focused=bb_focused))
+
+    agg = MultiViewAggregator()
+    n_crops = cfg.test_num_crop
+
+    view_augs = [
+        jax.jit(
+            lambda b, s=s: A.test_view_augment(
+                b, s, out_size=cfg.input_size, short_side=cfg.input_size,
+                num_crops=n_crops,
+            )[0]
+        )
+        for s in range(n_crops)
+    ]
+    for batch in loader:
+        # group by split_nb on host (views need different crop windows)
+        split = np.asarray(batch["split_nb"])
+        clips = batch["clip"]
+        for s in range(n_crops):
+            sel = np.nonzero(split == s)[0]
+            if len(sel) == 0:
+                continue
+            sub = {
+                k: (v[jnp.asarray(sel)] if hasattr(v, "shape") else v)
+                for k, v in batch.items()
+            }
+            aug_clips = view_augs[s](sub["clip"])
+            eb = {"clip": aug_clips, "label": sub["label"]}
+            if bb_focused:
+                eb["boxes"] = sub.get(
+                    "boxes", jnp.zeros(
+                        (len(sel), cfg.num_frames, 4)
+                    )
+                )
+            out = eval_fn(params, eb)
+            agg.add(
+                [str(int(v)) for v in np.asarray(sub["video_idx"])],
+                np.asarray(sub["chunk_nb"]).tolist(),
+                np.asarray(sub["split_nb"]).tolist(),
+                np.asarray(out["logits"]),
+                np.asarray(sub["label"]).tolist(),
+            )
+    top1, top5, _ = agg.finalize()
+    log(f"Final test: Acc@1 {top1:.2f} Acc@5 {top5:.2f}")
+    return top1, top5
+
+
+if __name__ == "__main__":
+    main()

@@ -92,11 +92,30 @@ def _op_equalize(img, level, neg):
     del level, neg
     # PIL equalize per frame per channel via histogram LUT:
     # step = (npixels - hist[-1]) // 255; lut[i] = (cumsum_before(i) +
-    # step // 2) // step
+    # step // 2) // step. Histogram as an equality reduction — both
+    # one-hot (gigabytes) and scatter-add (pathological TPU compile time)
+    # are traps here.
     T, H, W, C = img.shape
     q = jnp.clip(jnp.round(img), 0, 255).astype(jnp.int32)  # (T,H,W,C)
-    onehot = jax.nn.one_hot(q, 256, dtype=jnp.float32)  # (T,H,W,C,256)
-    hist = jnp.sum(onehot, axis=(1, 2))  # (T, C, 256)
+    qf = q.transpose(0, 3, 1, 2).reshape(T, C, H * W)  # (T, C, HW)
+    bins = jnp.arange(256, dtype=jnp.int32)
+    # chunk the pixel axis so the (chunk, 256) bool tensor stays small
+    chunk = 4096
+    n_chunks = -(-H * W // chunk)
+    pad = n_chunks * chunk - H * W
+    qp = jnp.pad(qf, ((0, 0), (0, 0), (0, pad)), constant_values=-1)
+    qp = qp.reshape(T, C, n_chunks, chunk)
+
+    def chunk_hist(carry, x):
+        return carry + jnp.sum(
+            (x[..., None] == bins).astype(jnp.float32), axis=-2
+        ), None
+
+    hist, _ = jax.lax.scan(
+        chunk_hist,
+        jnp.zeros((T, C, 256), jnp.float32),
+        jnp.moveaxis(qp, 2, 0),  # (n_chunks, T, C, chunk)
+    )
     n = float(H * W)
     step = jnp.floor((n - hist[..., 255]) / 255.0)  # (T, C)
     cum_before = jnp.cumsum(hist, axis=-1) - hist  # exclusive cumsum
@@ -105,12 +124,8 @@ def _op_equalize(img, level, neg):
         / jnp.maximum(step, 1.0)[..., None]
     )
     lut = jnp.clip(lut, 0, 255)  # (T, C, 256)
-    # gather lut per pixel
-    out = jnp.take_along_axis(
-        lut[:, None, None, :, :],  # (T,1,1,C,256)
-        q[..., None],
-        axis=-1,
-    )[..., 0]
+    out = jnp.take_along_axis(lut, qf, axis=-1)
+    out = out.reshape(T, C, H, W).transpose(0, 2, 3, 1)
     return jnp.where(step[:, None, None, :] > 0, out, img)
 
 
