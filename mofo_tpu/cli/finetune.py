@@ -341,7 +341,6 @@ def main(args=None):
     # ----- jitted programs -----
     flip = not (args.no_flip or args.data_set in ("SSV2", "EK100"))
 
-    @jax.jit
     def train_augment(arng, batch):
         clips, boxes_t = A.finetune_augment(
             arng, batch["clip"], out_size=cfg.input_size, aa=cfg.aa,
@@ -365,7 +364,8 @@ def main(args=None):
 
     step_fn = jax.jit(
         make_finetune_step(model, tx, cfg, lr_sched,
-                           bb_focused=bb_focused),
+                           bb_focused=bb_focused,
+                           augment_fn=train_augment),
         donate_argnums=(0,),
     )
     eval_fn = jax.jit(make_eval_step(model, cfg, bb_focused=bb_focused))
@@ -403,8 +403,6 @@ def main(args=None):
         header = f"Epoch: [{epoch}]"
         for batch in logger.log_every(train_loader, 10, header,
                                       total=steps_per_epoch):
-            arng = jax.random.fold_in(run_rng, int(state.step) * 2 + 1)
-            batch = train_augment(arng, batch)
             state, m = step_fn(state, batch, run_rng)
             logger.update(loss=float(m["loss"]),
                           grad_norm=float(m["grad_norm"]),

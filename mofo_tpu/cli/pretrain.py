@@ -259,10 +259,10 @@ def main(args=None):
     # gradual MOFO loss weighting (run_mae_pretraining_BB.py:262)
     loss_weights = np.linspace(1, 0, cfg.epochs)
 
-    # device-side augmentation fused with... applied before the step
+    # device-side augmentation runs INSIDE the jitted step: decode->update
+    # is one XLA program per step
     out_size = cfg.input_size
 
-    @jax.jit
     def augment_batch(arng, batch):
         clips = batch["clip"]
         boxes = batch.get("boxes")
@@ -275,7 +275,9 @@ def main(args=None):
         return out
 
     step_fn = jax.jit(
-        make_pretrain_step(model, tx, cfg, lr_sched), donate_argnums=(0,)
+        make_pretrain_step(model, tx, cfg, lr_sched,
+                           augment_fn=augment_batch),
+        donate_argnums=(0,),
     )
 
     jsonl = M.JsonlLogger(args.output_dir,
@@ -294,8 +296,6 @@ def main(args=None):
         for step, batch in enumerate(
             logger.log_every(loader, 10, header, total=steps_per_epoch)
         ):
-            arng = jax.random.fold_in(run_rng, int(state.step) * 2 + 1)
-            batch = augment_batch(arng, batch)
             state, m = step_fn(state, batch, run_rng, lw)
             logger.update(
                 loss=float(m["loss"]),

@@ -1,18 +1,296 @@
-"""Blockwise fused flash attention (Pallas, TPU).
+"""Fused attention kernels (Pallas, TPU).
 
-Placeholder: currently delegates to the XLA path while the Pallas kernel is
-being brought up. The dispatch interface (ops.attention.dot_product_attention)
-is final; swapping in the kernel is invisible to callers.
+Design point: MOFO sequence lengths are short (160 visible tokens for the
+pretrain encoder, 1568 for the decoder / finetune backbone; 6k+ only for
+32-frame/384px variants) and head_dim is 64 across the family. Full K/V
+for one (batch, head) fits comfortably in VMEM, so each q-block computes
+its complete softmax row in a single pass — no online-softmax streaming —
+while still never materializing the (N, N) probability matrix in HBM.
+That's where the win over the XLA path comes from: the naive einsum
+attention round-trips B*H*N^2 floats of logits+probs through HBM
+(1.9 GB at B=32 for the decoder); the fused kernel keeps them in VMEM.
+
+Backward follows the standard flash-attention recipe (recompute P per
+block; dS = P o (dP - D); two kernels: dq over q-blocks, dk/dv over
+kv-blocks) with the row logsumexp saved from the forward.
+
+Inputs (B, N, H, D) as produced by models/layers.Attention; non-causal,
+no mask — the padded tail is masked inside the kernels via iota
+comparisons. interpret=True (automatic off-TPU) runs the same kernels
+under the Pallas interpreter for tests.
 """
 
 from __future__ import annotations
 
+import functools
+from typing import Tuple
+
 import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_BLOCK_Q = 128
+_NEG_INF = -1e30
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, n_valid):
+    # q: (1, bq, D) block; k, v: (1, Nk, D); o: (1, bq, D);
+    # lse: (1, 1, 8, bq) block of a (BH, nq, 8, bq) array — the row is
+    # replicated over the 8 sublanes because Mosaic cannot do dynamic
+    # sublane-indexed stores into a (BH, n_pad) layout.
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (bq, Nk)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_valid, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        (p / l).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+    lse_row = (m[:, 0] + jnp.log(l[:, 0]))[None, :]  # (1, bq)
+    lse_ref[0, 0] = jnp.broadcast_to(lse_row, (8, lse_row.shape[1]))
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+               *, scale, n_valid):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0, 0]
+    delta = delta_ref[0, 0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_valid, s, _NEG_INF)
+    p = jnp.exp(s - lse[:, None])
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta[:, None]) * scale
+    dq = jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, *, scale, n_valid):
+    # k, v: (1, bk, D) blocks; q, do: (1, Nq, D) full; lse/delta:
+    # (1, nq, 8, bq) with +inf lse on padded rows so their P contribution
+    # is exactly zero. Statically unrolled loop over q blocks (Mosaic has
+    # no general reshape for flattening the lse tiles).
+    k = k_ref[0]
+    v = v_ref[0]
+    bk, D = k.shape
+    nq = lse_ref.shape[1]
+    bq = lse_ref.shape[3]
+    dk_acc = jnp.zeros((bk, D), jnp.float32)
+    dv_acc = jnp.zeros((bk, D), jnp.float32)
+    for qi in range(nq):
+        qb = q_ref[0, pl.ds(qi * bq, bq), :]
+        dob = do_ref[0, pl.ds(qi * bq, bq), :].astype(jnp.float32)
+        lse = lse_ref[0, qi, 0]
+        delta = delta_ref[0, qi, 0]
+        s = jax.lax.dot_general(
+            qb, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (bq, bk)
+        p = jnp.exp(s - lse[:, None])  # padded rows -> exp(-inf) = 0
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p.astype(dob.dtype), dob, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            dob, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, bk)
+        ds = p * (dp - delta[:, None]) * scale
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, qb.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+
+
+def _pad_to(x: Array, n: int, axis: int) -> Array:
+    pad = n - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _fwd_impl(q, k, v, scale, interpret):
+    """q, k, v: (BH, N, D). Returns (out, lse)."""
+    BH, N, D = q.shape
+    n_pad = -(-N // _BLOCK_Q) * _BLOCK_Q
+    qp = _pad_to(q, n_pad, 1)
+    kp = _pad_to(k, n_pad, 1)
+    vp = _pad_to(v, n_pad, 1)
+    grid = (BH, n_pad // _BLOCK_Q)
+    out, lse4 = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, n_valid=N),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _BLOCK_Q, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, _BLOCK_Q, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, _BLOCK_Q), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, n_pad, D), q.dtype),
+            jax.ShapeDtypeStruct(
+                (BH, n_pad // _BLOCK_Q, 8, _BLOCK_Q), jnp.float32
+            ),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp)
+    lse = lse4[:, :, 0, :].reshape(BH, n_pad)
+    return out[:, :N], lse
+
+
+def _bwd_impl(q, k, v, out, lse, do, scale, interpret):
+    BH, N, D = q.shape
+    n_pad = -(-N // _BLOCK_Q) * _BLOCK_Q
+    qp = _pad_to(q, n_pad, 1)
+    kp = _pad_to(k, n_pad, 1)
+    vp = _pad_to(v, n_pad, 1)
+    dop = _pad_to(do, n_pad, 1)
+    delta = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )  # (BH, N)
+    deltap = _pad_to(delta, n_pad, 1)
+    # +inf lse on padded rows zeroes their contribution in the dkv kernel
+    lsep = _pad_to(lse, n_pad, 1)
+    row = jnp.arange(n_pad)[None, :]
+    lsep = jnp.where(row < N, lsep, jnp.inf)
+    nq = n_pad // _BLOCK_Q
+    lse4 = jnp.broadcast_to(
+        lsep.reshape(BH, nq, 1, _BLOCK_Q), (BH, nq, 8, _BLOCK_Q)
+    )
+    delta4 = jnp.broadcast_to(
+        deltap.reshape(BH, nq, 1, _BLOCK_Q), (BH, nq, 8, _BLOCK_Q)
+    )
+
+    grid = (BH, n_pad // _BLOCK_Q)
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, n_valid=N),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _BLOCK_Q, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLOCK_Q, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, _BLOCK_Q), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, _BLOCK_Q), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _BLOCK_Q, D), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH, n_pad, D), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse4, delta4)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, n_valid=N),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n_pad, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLOCK_Q, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLOCK_Q, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq, 8, _BLOCK_Q), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq, 8, _BLOCK_Q), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, _BLOCK_Q, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLOCK_Q, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, n_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((BH, n_pad, D), q.dtype),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse4, delta4)
+    return dq[:, :N], dk[:, :N], dv[:, :N]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash(q, k, v, scale, interpret):
+    out, _ = _fwd_impl(q, k, v, scale, interpret)
+    return out
+
+
+def _flash_fwd(q, k, v, scale, interpret):
+    out, lse = _fwd_impl(q, k, v, scale, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_bwd(scale, interpret, res, do):
+    q, k, v, out, lse = res
+    dq, dk, dv = _bwd_impl(q, k, v, out, lse, do, scale, interpret)
+    return dq, dk, dv
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, *, scale: float
-) -> jax.Array:
-    from mofo_tpu.ops.attention import xla_attention
-
-    return xla_attention(q, k, v, scale=scale)
+    q: Array, k: Array, v: Array, *, scale: float,
+    interpret: bool | None = None,
+) -> Array:
+    """Fused attention. q, k, v: (B, N, H, D) -> (B, N, H, D)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    B, N, H, D = q.shape
+    qt = q.transpose(0, 2, 1, 3).reshape(B * H, N, D)
+    kt = k.transpose(0, 2, 1, 3).reshape(B * H, N, D)
+    vt = v.transpose(0, 2, 1, 3).reshape(B * H, N, D)
+    out = _flash(qt, kt, vt, scale, interpret)
+    return out.reshape(B, H, N, D).transpose(0, 2, 1, 3)

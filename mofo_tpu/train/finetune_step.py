@@ -43,11 +43,13 @@ def make_finetune_step(
     cfg: FinetuneConfig,
     lr_schedule: Optional[np.ndarray] = None,
     bb_focused: bool = False,
+    augment_fn: Optional[Callable[[Array, Batch], Batch]] = None,
 ) -> Callable[[TrainState, Batch, Array], Tuple[TrainState, Dict]]:
     """step_fn(state, batch, rng) -> (state, metrics).
 
     batch: {'clip': (B,T,H,W,C), 'label': (B,) int} (+ 'boxes': (B,T,4)
-    when bb_focused).
+    when bb_focused). With augment_fn given, batch carries raw decoded
+    uint8 frames and augmentation runs inside the step.
     """
     mixup_active = (
         cfg.mixup > 0
@@ -94,6 +96,9 @@ def make_finetune_step(
 
     def step_fn(state: TrainState, batch: Batch, rng: Array):
         rng = jax.random.fold_in(rng, state.step)
+        if augment_fn is not None:
+            aug_rng, rng = jax.random.split(rng)
+            batch = augment_fn(aug_rng, batch)
 
         if cfg.update_freq > 1:
             k = cfg.update_freq

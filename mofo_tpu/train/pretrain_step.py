@@ -117,13 +117,16 @@ def make_pretrain_step(
     tx: optax.GradientTransformation,
     cfg: PretrainConfig,
     lr_schedule: Optional[np.ndarray] = None,
+    augment_fn: Optional[Callable[[Array, Batch], Batch]] = None,
 ) -> Callable[[TrainState, Batch, Array, Array], Tuple[TrainState, Dict]]:
     """Returns step_fn(state, batch, rng, loss_weight) -> (state, metrics).
 
-    batch['clip']: (B, T, H, W, C) normalized clips; with update_freq > 1,
-    B must be divisible by it (microbatches are a leading reshape).
-    rng: per-run key; folded with the step counter for per-step streams.
-    loss_weight: scalar for the MOFO gradual weighting (pass 0.0 if unused).
+    batch['clip']: (B, T, H, W, C) normalized clips — or raw decoded
+    uint8 frames when augment_fn is given (augment_fn(rng, batch) -> batch
+    runs INSIDE the step so decode-to-update is one XLA program).
+    With update_freq > 1, B must be divisible by it (microbatches are a
+    leading reshape). rng: per-run key; folded with the step counter.
+    loss_weight: scalar for the MOFO gradual weighting (0.0 if unused).
     """
     lr_arr = (
         jnp.asarray(lr_schedule) if lr_schedule is not None else None
@@ -131,6 +134,9 @@ def make_pretrain_step(
 
     def step_fn(state: TrainState, batch: Batch, rng: Array, loss_weight):
         rng = jax.random.fold_in(rng, state.step)
+        if augment_fn is not None:
+            aug_rng, rng = jax.random.split(rng)
+            batch = augment_fn(aug_rng, batch)
 
         def loss_fn(params, mbatch, mrng):
             return _loss_for_batch(
