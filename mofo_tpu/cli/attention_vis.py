@@ -38,6 +38,49 @@ def get_args(argv=None):
     return p.parse_args(argv)
 
 
+def token_saliency_rollout(model_kwargs, params, clips, create_model_fn):
+    """Attention rollout (Abnar & Zuidema '20): per block, average the
+    sown softmax over heads, add identity, row-normalize, and multiply
+    through; token importance = mean over query rows of the final rollout.
+    Returns (B, t, h, h)."""
+    import jax.numpy as jnp
+
+    model = create_model_fn(
+        **{**model_kwargs, "sow_attn": True, "attn_impl": "xla"}
+    )
+    _, inter = model.apply(
+        {"params": params}, clips, mutable=["intermediates"]
+    )
+    def _block_index(path) -> int:
+        for p in path:
+            name = getattr(p, "key", None)
+            if isinstance(name, str) and name.startswith("blocks_"):
+                return int(name.split("_")[-1])
+        return 0
+
+    mats = [
+        v
+        for _, v in sorted(
+            jax.tree_util.tree_flatten_with_path(
+                inter["intermediates"]
+            )[0],
+            key=lambda kv: _block_index(kv[0]),
+        )
+    ]
+    B = clips.shape[0]
+    N = mats[0].shape[-1]
+    rollout = jnp.eye(N)[None].repeat(B, axis=0)
+    for a in mats:  # (B, H, N, N)
+        a = jnp.mean(a, axis=1)
+        a = a + jnp.eye(N)[None]
+        a = a / jnp.sum(a, axis=-1, keepdims=True)
+        rollout = jnp.einsum("bij,bjk->bik", a, rollout)
+    sal = jnp.mean(rollout, axis=1)  # (B, N)
+    t = clips.shape[1] // 2
+    h = clips.shape[2] // 16
+    return sal.reshape(B, t, h, h)
+
+
 def token_saliency_grad(model, params, clips, target_class: int):
     """|d logit / d input| pooled per token -> (B, t, h, w)."""
 
@@ -115,9 +158,21 @@ def main(args=None):
             loaded = tree["params"] if "params" in tree else tree
         params = ckpt.finetune_init_from_pretrain(params, loaded)
 
-    sal = np.asarray(
-        token_saliency_grad(model, params, normed, args.target_class)
-    )[0]  # (t, h, h)
+    if args.method == "rollout":
+        model_kwargs = dict(
+            img_size=args.input_size, all_frames=args.num_frames,
+            num_classes=args.nb_classes,
+        )
+        sal = np.asarray(
+            token_saliency_rollout(
+                model_kwargs, params, normed,
+                lambda **kw: create_model(args.model, **kw),
+            )
+        )[0]
+    else:
+        sal = np.asarray(
+            token_saliency_grad(model, params, normed, args.target_class)
+        )[0]  # (t, h, h)
     sal = sal / (sal.max() + 1e-9)
 
     boxes = None

@@ -102,6 +102,11 @@ def get_args(argv=None, bb_defaults: bool = False):
     p.add_argument("--data_set", default="SSV2", type=str,
                    choices=["SSV2", "Kinetics-400", "UCF101", "HMDB51",
                             "EK100"])
+    p.add_argument("--classtype", default="action", type=str,
+                   choices=["verb", "noun", "action"],
+                   help="EK100 label space")
+    p.add_argument("--data_root", default=None, type=str,
+                   help="EK100 video root (train/ validation/ subdirs)")
     p.add_argument("--synthetic", default=0, type=int)
     p.add_argument("--decode_height", default=256, type=int)
     p.add_argument("--decode_width", default=320, type=int)
@@ -115,6 +120,12 @@ def get_args(argv=None, bb_defaults: bool = False):
     p.add_argument("--mesh_fsdp", default=1, type=int)
     p.add_argument("--mesh_model", default=1, type=int)
     return p.parse_args(argv)
+
+
+def dataclasses_replace_nb(cfg: FinetuneConfig, nb: int) -> FinetuneConfig:
+    import dataclasses
+
+    return dataclasses.replace(cfg, nb_classes=nb)
 
 
 def build_config(args) -> FinetuneConfig:
@@ -221,6 +232,7 @@ def main(args=None):
     )
     if bb_focused and boxes is None and not args.synthetic:
         raise SystemExit("BB-focused model requires --bb_json")
+    action_to_vn = None
     if args.synthetic:
         mk = lambda mode: P.SyntheticClipDataset(
             n=args.synthetic,
@@ -235,6 +247,34 @@ def main(args=None):
             decode_size=decode_size, num_classes=cfg.nb_classes,
             with_boxes=bb_focused,
         )
+    elif args.data_set == "EK100":
+        # EPIC-KITCHENS: --data_path/--val_path are the EPIC_100 CSVs,
+        # --data_root holds the pre-cut video_<i>.mp4 segments
+        from mofo_tpu.data.epic import EpicClipDataset
+        from mofo_tpu.data.filelist import epic_action_space, read_epic_csv
+
+        vn_list, mapping, action_to_vn = epic_action_space(
+            [args.data_path, args.val_path]
+        )
+        if args.classtype == "action" and cfg.nb_classes != len(vn_list):
+            log(f"nb_classes -> {len(vn_list)} (EK action space)")
+            cfg = dataclasses_replace_nb(cfg, len(vn_list))
+        mk_epic = lambda csv_path, split, mode: EpicClipDataset(
+            entries=read_epic_csv(csv_path),
+            video_root=args.data_root,
+            split=split,
+            mode=mode,
+            classtype=args.classtype,
+            action_mapping=mapping,
+            num_frames=cfg.num_frames,
+            decode_size=decode_size,
+            test_num_segment=cfg.test_num_segment,
+            test_num_crop=cfg.test_num_crop,
+            boxes=boxes,
+        )
+        train_ds = mk_epic(args.data_path, "train", "train")
+        val_ds = mk_epic(args.val_path, "validation", "validation")
+        test_ds = mk_epic(args.val_path, "validation", "test")
     else:
         mk = lambda path, mode: P.FinetuneClipDataset(
             entries=read_setting_file(path),
@@ -445,12 +485,13 @@ def main(args=None):
     final_test(
         model, state.params, test_ds, cfg, mesh,
         bb_focused=bb_focused, log=log, per_host=per_host,
+        action_to_vn=action_to_vn if args.classtype == "action" else None,
     )
     return state
 
 
 def final_test(model, params, test_ds, cfg, mesh, bb_focused, log,
-               per_host):
+               per_host, action_to_vn=None):
     """Multi-view test: iterate (chunk, crop) expanded views, aggregate
     softmax-mean per video."""
     from mofo_tpu.data import pipeline as P
@@ -510,6 +551,30 @@ def final_test(model, params, test_ds, cfg, mesh, bb_focused, log,
             )
     top1, top5, _ = agg.finalize()
     log(f"Final test: Acc@1 {top1:.2f} Acc@5 {top5:.2f}")
+    if action_to_vn is not None:
+        # EK-100: marginalize action probs into verb/noun accuracies
+        # (engine_for_finetuning.py:113-123, utils.py:584-606)
+        from mofo_tpu.eval.multiview import (
+            get_marginal_indexes,
+            marginalize,
+        )
+
+        feats, labels = agg.merge_feats()
+        vids = list(feats)
+        probs = np.stack([feats[v] for v in vids])
+        lab = np.array([labels[v] for v in vids])
+        acc = {}
+        for mode in ("verb", "noun"):
+            idxs = get_marginal_indexes(action_to_vn, mode)
+            marg = marginalize(probs, idxs)
+            true = np.array(
+                [action_to_vn[l][0 if mode == "verb" else 1] for l in lab]
+            )
+            acc[mode] = float(
+                np.mean(np.argmax(marg, axis=1) == true)
+            ) * 100.0
+        log(f"Final test (EK marginalized): verb {acc['verb']:.2f} "
+            f"noun {acc['noun']:.2f}")
     return top1, top5
 
 

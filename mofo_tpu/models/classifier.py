@@ -63,6 +63,7 @@ class VisionTransformer(nn.Module):
     use_mean_pooling: bool = True
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    sow_attn: bool = False
 
     def backbone_tokens(self, x: Array, deterministic: bool = True) -> Array:
         """Patch-embed + pos + blocks -> (B, N, D) token features."""
@@ -103,6 +104,7 @@ class VisionTransformer(nn.Module):
                 dtype=self.dtype,
                 kernel_init=trunc_normal_init(),
                 attn_impl=self.attn_impl,
+                sow_attn=self.sow_attn,
                 name=f"blocks_{i}",
             )(tokens, deterministic=deterministic)
 

@@ -135,6 +135,7 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.xavier_uniform()
     attn_impl: str = "auto"  # auto | xla | pallas
+    sow_attn: bool = False  # sow softmax probs (attention-rollout vis)
 
     @nn.compact
     def __call__(
@@ -170,6 +171,16 @@ class Attention(nn.Module):
 
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        if self.sow_attn:
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q * scale, k,
+                preferred_element_type=jnp.float32,
+            )
+            self.sow(
+                "intermediates", "attn_probs",
+                jax.nn.softmax(logits, axis=-1),
+            )
 
         dropout_rng = None
         if not deterministic and self.attn_drop > 0.0:
@@ -308,6 +319,7 @@ class Block(nn.Module):
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.xavier_uniform()
     attn_impl: str = "auto"
+    sow_attn: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -323,6 +335,7 @@ class Block(nn.Module):
             dtype=self.dtype,
             kernel_init=self.kernel_init,
             attn_impl=self.attn_impl,
+            sow_attn=self.sow_attn,
             name="attn",
         )(
             _layer_norm(x, self.dtype, name="norm1"),

@@ -121,7 +121,8 @@ def vit_large_patch16_512(**kwargs):
 @register_model
 def vit_base_patch16_224_feature_ext(**kwargs):
     # Same module; call with return_features=True (classifier.py docstring).
-    return _vit(768, 12, 12, num_classes=0, **kwargs)
+    kwargs.setdefault("num_classes", 0)
+    return _vit(768, 12, 12, **kwargs)
 
 
 @register_model
