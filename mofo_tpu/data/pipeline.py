@@ -168,7 +168,27 @@ class FinetuneClipDataset:
                 [int(tick / 2.0 + tick * x) for x in range(self.num_frames)],
                 dtype=np.int64,
             )
-        # test: the tick grid; caller's chunk picks [chunk_nb::2]
+        if self.sampler == "dense":
+            # Kinetics-style: full strided enumeration, then a temporal
+            # window offset by chunk_nb (kinetics.py:144-155,246-252)
+            all_idx = sampling.dense_test_indices(
+                duration,
+                clip_len=self.num_frames,
+                frame_sample_rate=self.frame_sample_rate,
+            )
+            n = len(all_idx)
+            if n > self.num_frames:
+                max_start = n - self.num_frames
+                start = int(
+                    round(
+                        max_start
+                        * chunk_nb
+                        / max(self.test_num_segment - 1, 1)
+                    )
+                )
+                return all_idx[start : start + self.num_frames]
+            return all_idx
+        # SSV2-style: the tick grid; chunk picks [chunk_nb::segments]
         grid = sampling.uniform_test_indices(
             duration,
             num_segment=self.num_frames,
