@@ -57,12 +57,14 @@ def vit_b_pretrain_fwd_flops(batch: int) -> float:
 
 
 def main():
+    from mofo_tpu.core.cache import enable_compilation_cache
     from mofo_tpu.core.config import PretrainConfig
     from mofo_tpu.models import create_model
     from mofo_tpu.train import optim, schedules
     from mofo_tpu.train.pretrain_step import make_pretrain_step
     from mofo_tpu.train.train_state import TrainState
 
+    enable_compilation_cache()
     B = 32
     cfg = PretrainConfig(batch_size=B)
     model = create_model(
@@ -80,9 +82,7 @@ def main():
         params, lr_schedule=lr, betas=(0.9, 0.95), weight_decay=0.05
     )
     state = TrainState.create(params, tx)
-    step = jax.jit(
-        make_pretrain_step(model, tx, cfg, lr), donate_argnums=(0,)
-    )
+    step = jax.jit(make_pretrain_step(model, tx, cfg, lr))
     batch = {"clip": clip}
     rng = jax.random.PRNGKey(2)
 
@@ -90,7 +90,10 @@ def main():
     state, metrics = step(state, batch, rng, 0.0)
     jax.block_until_ready(metrics["loss"])
 
-    n_iters = 20
+    # enqueue a chain of steps, block once at the end: steps execute
+    # back-to-back on device, so per-dispatch host/RPC overhead doesn't
+    # pollute the measurement
+    n_iters = 30
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, metrics = step(state, batch, rng, 0.0)

@@ -196,6 +196,9 @@ def _load_pretrain_encoder(path: str):
 def main(args=None):
     if args is None:
         args = get_args()
+    from mofo_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     distributed.init_distributed_mode()
     log = distributed.setup_printing()
     cfg = build_config(args)

@@ -137,6 +137,9 @@ def build_config(args) -> PretrainConfig:
 def main(args=None):
     if args is None:
         args = get_args()
+    from mofo_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     distributed.init_distributed_mode()
     log = distributed.setup_printing()
     cfg = build_config(args)

@@ -82,7 +82,9 @@ class PretrainEncoder(nn.Module):
         ).astype(tokens.dtype)
         tokens = tokens + pos
 
-        x_vis = jnp.take_along_axis(tokens, vis_idx[..., None], axis=1)
+        from mofo_tpu.ops.masking import gather_tokens
+
+        x_vis = gather_tokens(tokens, vis_idx)
 
         dpr = [
             float(r)

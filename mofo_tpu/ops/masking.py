@@ -217,6 +217,26 @@ def motion_tube_mask(
     return mask.reshape(B, temporal_positions * ppf)
 
 
+def gather_tokens(tokens: Array, idx: Array) -> Array:
+    """Gradient-path token selection: tokens (B, N, D), idx (B, M) ->
+    (B, M, D).
+
+    On TPU this is a one-hot matmul instead of take_along_axis: the
+    gather's BACKWARD pass is a scatter-add, which is far slower on TPU
+    than the two dense matmuls of the one-hot formulation (selection
+    matrices here are tiny: 160 x 1568 bf16). Elsewhere (frozen positional
+    tables, stop-gradient targets) plain gathers stay."""
+    import jax as _jax
+
+    if _jax.default_backend() != "tpu":
+        return jnp.take_along_axis(tokens, idx[..., None], axis=1)
+    onehot = _jax.nn.one_hot(idx, tokens.shape[1], dtype=tokens.dtype)
+    return jnp.einsum(
+        "bmn,bnd->bmd", onehot, tokens,
+        preferred_element_type=tokens.dtype,
+    )
+
+
 def mask_to_indices(mask: Array, num_masked: int) -> Tuple[Array, Array]:
     """Split a boolean mask (B, N) into (visible_idx, masked_idx) with
     static shapes (B, N - num_masked) and (B, num_masked).
