@@ -42,14 +42,16 @@ def xla_attention(
     dropout_rng: Optional[Array] = None,
     deterministic: bool = True,
 ) -> Array:
-    """Reference-parity attention. q,k,v: (B, N, H, Dh) -> (B, N, H, Dh).
+    """Reference-parity attention. q,k,v: (B, H, N, Dh) -> (B, H, N, Dh)
+    (head-major layout — matches what the projection einsums produce
+    without transposes).
 
     Softmax is computed in float32 regardless of input dtype (torch autocast
     does the same for softmax).
     """
     dtype = q.dtype
     logits = jnp.einsum(
-        "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+        "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
     )
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
@@ -61,7 +63,7 @@ def xla_attention(
         probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     probs = probs.astype(dtype)
     out = jnp.einsum(
-        "bhqk,bkhd->bqhd", probs, v, preferred_element_type=dtype
+        "bhqk,bhkd->bhqd", probs, v, preferred_element_type=dtype
     )
     return out
 
@@ -78,12 +80,12 @@ def dot_product_attention(
     deterministic: bool = True,
     impl: str = "auto",
 ) -> Array:
-    """Dispatching attention entry point. q,k,v: (B, N, H, Dh)."""
+    """Dispatching attention entry point. q,k,v: (B, H, N, Dh)."""
     if impl == "auto":
         use_pallas = (
             _on_tpu()
-            and q.shape[1] >= _PALLAS_MIN_SEQ
-            and q.shape[1] == k.shape[1]
+            and q.shape[2] >= _PALLAS_MIN_SEQ
+            and q.shape[2] == k.shape[2]
             and bias is None
             and (deterministic or dropout_rate == 0.0)
         )

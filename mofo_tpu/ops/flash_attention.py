@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-_BLOCK_Q = 128
+_BLOCK_Q = 256
 _NEG_INF = -1e30
 
 
@@ -285,12 +285,13 @@ def flash_attention(
     q: Array, k: Array, v: Array, *, scale: float,
     interpret: bool | None = None,
 ) -> Array:
-    """Fused attention. q, k, v: (B, N, H, D) -> (B, N, H, D)."""
+    """Fused attention. q, k, v: (B, H, N, D) head-major -> same layout.
+    The (B*H, N, D) kernel view is a free reshape in this layout."""
     if interpret is None:
         interpret = not _on_tpu()
-    B, N, H, D = q.shape
-    qt = q.transpose(0, 2, 1, 3).reshape(B * H, N, D)
-    kt = k.transpose(0, 2, 1, 3).reshape(B * H, N, D)
-    vt = v.transpose(0, 2, 1, 3).reshape(B * H, N, D)
+    B, H, N, D = q.shape
+    qt = q.reshape(B * H, N, D)
+    kt = k.reshape(B * H, N, D)
+    vt = v.reshape(B * H, N, D)
     out = _flash(qt, kt, vt, scale, interpret)
-    return out.reshape(B, H, N, D).transpose(0, 2, 1, 3)
+    return out.reshape(B, H, N, D)

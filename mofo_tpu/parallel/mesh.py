@@ -96,8 +96,10 @@ def _spec_for_param(names: Tuple[str, ...], shape: Tuple[int, ...]) -> P:
         return P("model")
     if name == "kv_kernel" or name == "q_kernel":
         return P("fsdp", "model")
-    if parent == "proj" and name == "kernel" and ("attn" in names):
+    if name == "proj_kernel":
         return P("model", "fsdp")
+    if name == "proj_bias":
+        return P()
     if parent == "fc1" and name == "kernel":
         return P("fsdp", "model")
     if parent == "fc1" and name == "bias":

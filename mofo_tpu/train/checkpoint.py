@@ -110,7 +110,7 @@ def _convert_block(dst: Dict, prefix: Tuple[str, ...], name: str, t) -> bool:
         "norm2.bias": ("norm2", "bias"),
         "attn.q_bias": ("attn", "q_bias"),
         "attn.v_bias": ("attn", "v_bias"),
-        "attn.proj.bias": ("attn", "proj", "bias"),
+        "attn.proj.bias": ("attn", "proj_bias"),
         "mlp.fc1.bias": ("mlp", "fc1", "bias"),
         "mlp.fc2.bias": ("mlp", "fc2", "bias"),
         "gamma_1": ("gamma_1",),
@@ -118,7 +118,7 @@ def _convert_block(dst: Dict, prefix: Tuple[str, ...], name: str, t) -> bool:
     }
     transposed = {
         "attn.qkv.weight": ("attn", "qkv_kernel"),
-        "attn.proj.weight": ("attn", "proj", "kernel"),
+        "attn.proj.weight": ("attn", "proj_kernel"),
         "mlp.fc1.weight": ("mlp", "fc1", "kernel"),
         "mlp.fc2.weight": ("mlp", "fc2", "kernel"),
     }

@@ -57,9 +57,9 @@ def _flax_to_torch_state_dict(params):
             sd[tp + "attn.v_bias"] = torch.tensor(
                 np.asarray(sub["attn"]["v_bias"]))
             sd[tp + "attn.proj.weight"] = torch.tensor(
-                np.asarray(sub["attn"]["proj"]["kernel"]).T)
+                np.asarray(sub["attn"]["proj_kernel"]).T)
             sd[tp + "attn.proj.bias"] = torch.tensor(
-                np.asarray(sub["attn"]["proj"]["bias"]))
+                np.asarray(sub["attn"]["proj_bias"]))
             sd[tp + "mlp.fc1.weight"] = torch.tensor(
                 np.asarray(sub["mlp"]["fc1"]["kernel"]).T)
             sd[tp + "mlp.fc1.bias"] = torch.tensor(

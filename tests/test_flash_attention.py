@@ -13,7 +13,7 @@ from mofo_tpu.ops.flash_attention import flash_attention
 
 def _qkv(B=2, N=160, H=2, D=64, seed=0):
     rng = np.random.RandomState(seed)
-    mk = lambda: jnp.asarray(rng.randn(B, N, H, D).astype(np.float32))
+    mk = lambda: jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
     return mk(), mk(), mk()
 
 

@@ -196,8 +196,8 @@ def load_block(ref_block: RefBlock, p: dict):
     ref_block.attn.qkv.weight.data = _t(a["qkv_kernel"]).T.contiguous()
     ref_block.attn.q_bias.data = _t(a["q_bias"])
     ref_block.attn.v_bias.data = _t(a["v_bias"])
-    ref_block.attn.proj.weight.data = _t(a["proj"]["kernel"]).T.contiguous()
-    ref_block.attn.proj.bias.data = _t(a["proj"]["bias"])
+    ref_block.attn.proj.weight.data = _t(a["proj_kernel"]).T.contiguous()
+    ref_block.attn.proj.bias.data = _t(a["proj_bias"])
     m = p["mlp"]
     ref_block.mlp.fc1.weight.data = _t(m["fc1"]["kernel"]).T.contiguous()
     ref_block.mlp.fc1.bias.data = _t(m["fc1"]["bias"])
