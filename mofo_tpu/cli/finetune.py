@@ -413,7 +413,16 @@ def main(args=None):
     )
     eval_fn = jax.jit(make_eval_step(model, cfg, bb_focused=bb_focused))
 
+    from mofo_tpu.train.wandb_compat import WandbLogger
+
     jsonl = M.JsonlLogger(args.output_dir, distributed.is_main_process())
+    wandb = WandbLogger(
+        project=os.environ.get("WANDB_PROJECT"),
+        group=os.environ.get("WANDB_GROUP"),
+        name=os.environ.get("WANDB_NAME"),
+        config=vars(args),
+        enabled=distributed.is_main_process(),
+    )
     run_rng = jax.random.PRNGKey(cfg.seed + 1)
 
     def run_validation(params):
@@ -456,8 +465,15 @@ def main(args=None):
         val_stats = run_validation(state.params)
         stats = {f"train_{k}": v for k, v in logger.epoch_stats().items()}
         stats.update({f"val_{k}": v for k, v in val_stats.items()})
+        if cfg.model_ema and state.ema_params is not None:
+            # timm ModelEma evaluation (run_class_finetuning.py model_ema)
+            ema_stats = run_validation(state.ema_params)
+            stats.update(
+                {f"val_ema_{k}": v for k, v in ema_stats.items()}
+            )
         stats["epoch"] = epoch
         jsonl.write(stats)
+        wandb.log(stats, step=epoch)
         if args.output_dir and distributed.is_main_process():
             if (epoch + 1) % cfg.save_ckpt_freq == 0 or \
                epoch + 1 == cfg.epochs:

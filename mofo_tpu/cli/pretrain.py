@@ -283,8 +283,17 @@ def main(args=None):
         donate_argnums=(0,),
     )
 
+    from mofo_tpu.train.wandb_compat import WandbLogger
+
     jsonl = M.JsonlLogger(args.output_dir,
                           distributed.is_main_process())
+    wandb = WandbLogger(
+        project=os.environ.get("WANDB_PROJECT"),
+        group=os.environ.get("WANDB_GROUP"),
+        name=os.environ.get("WANDB_NAME"),
+        config=vars(args),
+        enabled=distributed.is_main_process(),
+    )
     tb = M.TensorboardLogger(args.log_dir)
     run_rng = jax.random.PRNGKey(cfg.seed + 1)
 
@@ -313,6 +322,7 @@ def main(args=None):
         stats = {f"train_{k}": v for k, v in logger.epoch_stats().items()}
         stats.update({"epoch": epoch})
         jsonl.write(stats)
+        wandb.log(stats, step=epoch)
         if args.output_dir and (
             (epoch + 1) % cfg.save_ckpt_freq == 0
             or epoch + 1 == cfg.epochs

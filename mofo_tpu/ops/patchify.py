@@ -73,25 +73,35 @@ def normalized_pixel_targets(
     patch_size: int = 16,
     tubelet_size: int = 2,
     input_normalized: bool = True,
+    compute_dtype=jnp.float32,
 ) -> Array:
     """Build per-token reconstruction targets (B, N, P*C), channel fastest.
 
     clip: (B, T, H, W, C), ImageNet-normalized unless input_normalized=False.
-    Matches engine_for_pretraining.py:43-63 exactly (float32 statistics,
-    unbiased variance, eps added to std).
+    Matches engine_for_pretraining.py:43-63 (float32 statistics, unbiased
+    variance, eps added to std).
+
+    Performance note: the per-patch stats are reduced on the UNTRANSPOSED
+    8-D view and normalization happens in place, so the expensive
+    token-major transpose runs once, after normalization, optionally in a
+    narrower compute_dtype (pass jnp.bfloat16 in bf16 training steps —
+    targets are ~N(0,1), well inside bf16 range; stats stay f32).
     """
     x = clip.astype(jnp.float32)
     if input_normalized:
         x = unnormalize_clip(x)
-    patches = patchify(x, patch_size, tubelet_size)  # (B, N, P, C)
+    B, T, H, W, C = x.shape
+    p0, p = tubelet_size, patch_size
+    t, h, w = T // p0, H // p, W // p
+    x8 = x.reshape(B, t, p0, h, p, w, p, C)  # pure reshape, no movement
     if normalize_target:
-        mean = jnp.mean(patches, axis=-2, keepdims=True)
-        # unbiased variance (torch var(unbiased=True))
-        n = patches.shape[-2]
-        var = jnp.var(patches, axis=-2, keepdims=True) * (n / (n - 1))
-        patches = (patches - mean) / (jnp.sqrt(var) + 1e-6)
-    B, N, P, C = patches.shape
-    return patches.reshape(B, N, P * C)
+        mean = jnp.mean(x8, axis=(2, 4, 6), keepdims=True)
+        n = p0 * p * p
+        var = jnp.var(x8, axis=(2, 4, 6), keepdims=True) * (n / (n - 1))
+        x8 = (x8 - mean) / (jnp.sqrt(var) + 1e-6)
+    x8 = x8.astype(compute_dtype)
+    x8 = x8.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # (B,t,h,w,p0,p1,p2,C)
+    return x8.reshape(B, t * h * w, p0 * p * p * C)
 
 
 def gather_masked_targets(

@@ -82,6 +82,8 @@ def _loss_for_batch(
         normalize_target=cfg.normalize_target,
         patch_size=cfg.patch_size,
         tubelet_size=cfg.tubelet_size,
+        compute_dtype=jnp.bfloat16 if cfg.dtype == "bfloat16"
+        else jnp.float32,
     )
     targets = patchify.gather_masked_targets(targets, masked_idx)
 
