@@ -1,0 +1,127 @@
+"""EK dataset, dynamic loss scaling, wandb no-op, driver entry points."""
+
+import os
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mofo_tpu.data.epic import EpicClipDataset
+from mofo_tpu.data.filelist import EpicEntry
+from mofo_tpu.train.loss_scale import DynamicLossScale, apply_if_finite
+from mofo_tpu.train.wandb_compat import WandbLogger
+
+
+@pytest.fixture(scope="module")
+def epic_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ek")
+    for split in ("train", "validation"):
+        os.makedirs(root / split, exist_ok=True)
+        for i in range(2):
+            path = str(root / split / f"video_{i}.mp4")
+            w = cv2.VideoWriter(
+                path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48)
+            )
+            for f in range(30):
+                w.write(np.full((48, 64, 3), (f * 7) % 255, np.uint8))
+            w.release()
+    return str(root)
+
+
+def _entries():
+    return [
+        EpicEntry("P01", "P01_01", "take plate", 2, 7,
+                  "00:00:00.00", "00:00:02.00", 0),
+        EpicEntry("P01", "P01_01", "open door", 3, 1,
+                  "00:00:02.00", "00:00:04.00", 1),
+    ]
+
+
+class TestEpicDataset:
+    def test_modes_and_labels(self, epic_root):
+        mapping = {"2:7": 0, "3:1": 1}
+        for mode, expect_len in (("train", 2), ("validation", 2),
+                                 ("test", 2 * 2 * 3)):
+            ds = EpicClipDataset(
+                entries=_entries(),
+                video_root=epic_root,
+                split="train",
+                mode=mode,
+                classtype="action",
+                action_mapping=mapping,
+                num_frames=8,
+                decode_size=(48, 64),
+            )
+            assert len(ds) == expect_len
+            item = ds[0]
+            assert item["clip"].shape == (8, 48, 64, 3)
+            assert int(item["label"]) == 0
+
+    def test_verb_noun_labels(self, epic_root):
+        for classtype, expect in (("verb", 2), ("noun", 7)):
+            ds = EpicClipDataset(
+                entries=_entries(), video_root=epic_root, split="train",
+                mode="train", classtype=classtype, num_frames=4,
+                decode_size=(48, 64),
+            )
+            assert int(ds[0]["label"]) == expect
+
+    def test_action_requires_mapping(self, epic_root):
+        with pytest.raises(ValueError):
+            EpicClipDataset(
+                entries=_entries(), video_root=epic_root, split="train",
+                mode="train", classtype="action",
+            )
+
+
+class TestDynamicLossScale:
+    def test_scales_and_unscales(self):
+        dls = DynamicLossScale.create(initial_scale_power=3)  # scale 8
+        loss_fn = lambda w: jnp.sum(w**2)
+        w = jnp.asarray([1.0, 2.0])
+        loss, grads, finite = dls.value_and_grad(loss_fn)(w)
+        assert abs(float(loss) - 5.0) < 1e-6
+        np.testing.assert_allclose(np.asarray(grads), [2.0, 4.0],
+                                   atol=1e-6)
+        assert bool(finite)
+
+    def test_backoff_on_nonfinite(self):
+        dls = DynamicLossScale.create(initial_scale_power=3)
+        updated = dls.update(jnp.asarray(False))
+        assert float(updated.scale) == 4.0
+        assert int(updated.good_steps) == 0
+
+    def test_growth_after_window(self):
+        dls = DynamicLossScale.create(initial_scale_power=3,
+                                      growth_interval=2)
+        d1 = dls.update(jnp.asarray(True))
+        assert float(d1.scale) == 8.0  # not yet
+        d2 = d1.update(jnp.asarray(True))
+        assert float(d2.scale) == 16.0  # grew after 2 good steps
+
+    def test_apply_if_finite(self):
+        new = {"w": jnp.asarray([1.0])}
+        old = {"w": jnp.asarray([0.0])}
+        kept = apply_if_finite(new, old, jnp.asarray(False))
+        assert float(kept["w"][0]) == 0.0
+
+
+class TestWandbNoOp:
+    def test_disabled_without_project(self):
+        w = WandbLogger(project=None)
+        w.log({"loss": 1.0})
+        w.finish()  # no exception
+
+    def test_graceful_without_package(self):
+        w = WandbLogger(project="proj")  # wandb not installed here
+        w.log({"loss": 1.0})
+        w.finish()
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)  # conftest already forces 8 CPU devices
