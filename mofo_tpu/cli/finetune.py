@@ -88,6 +88,10 @@ def get_args(argv=None, bb_defaults: bool = False):
                    help="evaluation only")
     p.add_argument("--early_stop_patience", default=-1, type=int,
                    help="stop after N epochs without val-loss improvement")
+    p.add_argument("--only_finetune_last", action="store_true",
+                   help="freeze the backbone, train fusing/head only")
+    p.add_argument("--num_sample", default=1, type=int,
+                   help="repeated augmentation copies per clip")
     # checkpoints
     p.add_argument("--finetune", default="",
                    help="pretrain checkpoint (orbax dir or torch .pth)")
@@ -358,6 +362,24 @@ def main(args=None):
             cfg.epochs, steps_per_epoch,
         )
     depth = getattr(model, "depth", 12)
+    trainable = None
+    if args.only_finetune_last:
+        # freeze the ViT backbone; train the head / fc_norm / fusing
+        # modules (the reference declared this flag without implementing
+        # the freeze, run_class_finetuning_BB.py:141)
+        from mofo_tpu.train.optim import path_names
+
+        head_names = {"head", "fc_norm", "soft_att_local",
+                      "soft_att_global"}
+
+        def trainable(path, leaf):
+            names = path_names(path)
+            return any(
+                n in head_names or n.startswith("local_MCA")
+                or n.startswith("global_MCA")
+                for n in names
+            )
+
     tx = optim.create_optimizer(
         params,
         opt=cfg.optimizer.opt,
@@ -369,6 +391,7 @@ def main(args=None):
         clip_grad=cfg.optimizer.clip_grad,
         layer_decay=cfg.optimizer.layer_decay,
         depth=depth,
+        trainable=trainable,
     )
     params = mesh_lib.shard_params(params, mesh)
     state = TrainState.create(params, tx, use_ema=cfg.model_ema)
@@ -385,11 +408,23 @@ def main(args=None):
     flip = not (args.no_flip or args.data_set in ("SSV2", "EK100"))
 
     def train_augment(arng, batch):
+        clips = batch["clip"]
+        labels = batch["label"]
+        boxes_in = batch.get("boxes")
+        if args.num_sample > 1:
+            # repeated augmentation (multiple_samples_collate,
+            # utils.py:530-552): each copy draws fresh augmentation
+            # randomness; mixup then acts on the flattened batch
+            k = args.num_sample
+            clips = jnp.repeat(clips, k, axis=0)
+            labels = jnp.repeat(labels, k, axis=0)
+            if boxes_in is not None:
+                boxes_in = jnp.repeat(boxes_in, k, axis=0)
         clips, boxes_t = A.finetune_augment(
-            arng, batch["clip"], out_size=cfg.input_size, aa=cfg.aa,
-            flip=flip, reprob=cfg.reprob, boxes=batch.get("boxes"),
+            arng, clips, out_size=cfg.input_size, aa=cfg.aa,
+            flip=flip, reprob=cfg.reprob, boxes=boxes_in,
         )
-        out = {"clip": clips, "label": batch["label"]}
+        out = {"clip": clips, "label": labels}
         if boxes_t is not None:
             out["boxes"] = boxes_t
         return out

@@ -178,6 +178,7 @@ def create_optimizer(
     layer_decay: Optional[float] = None,
     depth: int = 12,
     extra_no_decay: Sequence[str] = (),
+    trainable: Optional[Callable[[Tuple, Any], bool]] = None,
 ) -> optax.GradientTransformation:
     """Build the training transformation.
 
@@ -250,6 +251,17 @@ def create_optimizer(
     if layer_decay is not None and layer_decay < 1.0:
         scales = layer_decay_scales(params, depth, layer_decay)
         chain.append(scale_by_leaf(scales))
+
+    if trainable is not None:
+        # freeze params where trainable(path, leaf) is False (the
+        # reference's --only_finetune_last intent,
+        # run_class_finetuning_BB.py:141 — declared but unimplemented
+        # there; implemented here as zeroed updates)
+        freeze_scales = jax.tree_util.tree_map_with_path(
+            lambda path, leaf: 1.0 if trainable(path, leaf) else 0.0,
+            params,
+        )
+        chain.append(scale_by_leaf(freeze_scales))
 
     chain.append(optax.scale_by_schedule(lambda count: -lr_fn(count)))
     return optax.chain(*chain)

@@ -187,3 +187,26 @@ class TestAdamWParityVsTorch:
     def test_global_norm(self):
         tree = {"a": jnp.asarray([3.0]), "b": jnp.asarray([4.0])}
         assert abs(float(optim.global_norm(tree)) - 5.0) < 1e-6
+
+
+class TestFreeze:
+    def test_trainable_mask_freezes_params(self):
+        import optax
+
+        params = {"backbone": {"w": jnp.ones((3,))},
+                  "head": {"w": jnp.ones((3,))}}
+        from mofo_tpu.train.optim import path_names
+
+        tx = optim.create_optimizer(
+            params,
+            lr_schedule=np.array([0.1] * 10),
+            weight_decay=0.0,
+            trainable=lambda path, leaf: "head" in path_names(path),
+        )
+        st = tx.init(params)
+        g = jax.tree.map(jnp.ones_like, params)
+        upd, st = tx.update(g, st, params)
+        new = optax.apply_updates(params, upd)
+        np.testing.assert_allclose(
+            np.asarray(new["backbone"]["w"]), 1.0)  # frozen
+        assert not np.allclose(np.asarray(new["head"]["w"]), 1.0)
