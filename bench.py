@@ -65,7 +65,7 @@ def main():
     from mofo_tpu.train.train_state import TrainState
 
     enable_compilation_cache()
-    B = 32
+    B = 48
     cfg = PretrainConfig(batch_size=B)
     model = create_model(
         "pretrain_videomae_base_patch16_224", dtype=jnp.bfloat16

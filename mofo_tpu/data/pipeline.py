@@ -21,6 +21,7 @@ Components:
 from __future__ import annotations
 
 import dataclasses
+import os
 import queue
 import threading
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
@@ -31,6 +32,35 @@ import numpy as np
 from mofo_tpu.data.filelist import ClipEntry, MotionBoxIndex
 from mofo_tpu.data import sampling
 from mofo_tpu.data.video_reader import VideoReader
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=65536)
+def _entry_loadable(path: str) -> bool:
+    """Reference bad-video guards (kinetics.py:229-243): exists, >1KB,
+    decodable. Cached per path for the life of the process."""
+    if not os.path.exists(path) or os.path.getsize(path) < 1024:
+        return False
+    try:
+        with VideoReader(path) as vr:
+            return len(vr) > 0
+    except (RuntimeError, OSError):
+        return False
+
+
+def _resilient_entry(entries, i: int):
+    """Skip-and-resample on corrupt/missing videos (the reference's
+    while-loop resample in __getitem__, kinetics.py:92-97,229-243)."""
+    entry = entries[i]
+    tries = 0
+    while not _entry_loadable(entry.path) and tries < 10:
+        j = int(np.random.randint(len(entries)))
+        print(f"video {entry.path} not loadable; resampling index {j}")
+        entry = entries[j]
+        tries += 1
+    return entry
 
 
 class ShardedSampler:
@@ -85,7 +115,7 @@ class PretrainClipDataset:
         return len(self.entries)
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
-        entry = self.entries[i]
+        entry = _resilient_entry(self.entries, i)
         h, w = self.decode_size
         with VideoReader(entry.path, width=w, height=h) as vr:
             duration = len(vr)
@@ -201,7 +231,7 @@ class FinetuneClipDataset:
             entry_idx, chunk_nb, split_nb = self._views[i]
         else:
             entry_idx, chunk_nb, split_nb = i, 0, 0
-        entry = self.entries[entry_idx]
+        entry = _resilient_entry(self.entries, entry_idx)
         h, w = self.decode_size
         with VideoReader(entry.path, width=w, height=h) as vr:
             ids = self._frame_ids(len(vr), chunk_nb)

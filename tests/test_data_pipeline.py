@@ -215,3 +215,26 @@ class TestAugmentPipelines:
         ]
         assert views[0].shape == (2, 4, 32, 32, 3)
         assert not np.allclose(views[0], views[2])
+
+
+class TestResilientLoading:
+    def test_bad_entry_resamples(self, video_file, capsys):
+        from mofo_tpu.data.filelist import ClipEntry
+        from mofo_tpu.data import pipeline as PP
+
+        ds = PP.PretrainClipDataset(
+            entries=[ClipEntry("/nonexistent.mp4", 0),
+                     ClipEntry(video_file, 1)],
+            num_frames=4,
+            decode_size=(48, 64),
+        )
+        np.random.seed(0)
+        item = ds[0]  # bad entry resamples to a loadable one
+        assert item["clip"].shape == (4, 48, 64, 3)
+        assert "not loadable" in capsys.readouterr().out
+
+    def test_loadable_guard(self, video_file):
+        from mofo_tpu.data.pipeline import _entry_loadable
+
+        assert _entry_loadable(video_file)
+        assert not _entry_loadable("/nonexistent.mp4")
