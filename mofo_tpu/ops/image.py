@@ -25,7 +25,7 @@ sampling uses half-pixel-center bilinear (cv2/torch resize semantics).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,7 @@ Input convention: clips (B, T, H, W, C) float32 in [0, 255].
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

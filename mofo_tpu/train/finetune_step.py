@@ -17,7 +17,7 @@ import numpy as np
 import optax
 
 from mofo_tpu.core.config import FinetuneConfig
-from mofo_tpu.ops.mixup import Mixup, one_hot_smooth
+from mofo_tpu.ops.mixup import Mixup
 from mofo_tpu.train import losses
 from mofo_tpu.train.optim import global_norm
 from mofo_tpu.train.train_state import TrainState, ema_update

@@ -14,7 +14,7 @@ DynamicLossScale semantics match DeepSpeed's fp16 engine:
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp
