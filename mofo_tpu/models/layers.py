@@ -209,12 +209,12 @@ class Attention(nn.Module):
         pb = self.param(
             "proj_bias", nn.initializers.zeros, (self.dim,), jnp.float32
         )
+        # explicit transpose + flat matmul beats the strided-h einsum
+        # "bhne,hed->bnd" by ~1.7x on TPU (the h contraction dim is not
+        # contiguous in head-major layout)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, all_head_dim)
         out = jnp.einsum(
-            "bhne,hed->bnd",
-            out,
-            pk.astype(self.dtype).reshape(
-                self.num_heads, head_dim, self.dim
-            ),
+            "bnh,hd->bnd", out, pk.astype(self.dtype),
             preferred_element_type=self.dtype,
         ) + pb.astype(self.dtype)
         out = nn.Dropout(rate=self.proj_drop)(out, deterministic=deterministic)
