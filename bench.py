@@ -58,7 +58,7 @@ def vit_b_pretrain_fwd_flops(batch: int) -> float:
 
 def main():
     from mofo_tpu.core.cache import enable_compilation_cache
-    from mofo_tpu.core.config import PretrainConfig
+    from mofo_tpu.core.config import MaskingConfig, PretrainConfig
     from mofo_tpu.models import create_model
     from mofo_tpu.train import optim, schedules
     from mofo_tpu.train.pretrain_step import make_pretrain_step
@@ -66,13 +66,24 @@ def main():
 
     enable_compilation_cache()
     B = 48
-    cfg = PretrainConfig(batch_size=B)
+    # The full MOFO step: motion-BB tube masking from per-frame boxes +
+    # the gradual in-box loss upweighting — not the plain VideoMAE step.
+    cfg = PretrainConfig(
+        batch_size=B,
+        masking=MaskingConfig(mask_type="tube_bb"),
+        motion_loss_weight=True,
+    )
     model = create_model(
         "pretrain_videomae_base_patch16_224", dtype=jnp.bfloat16
     )
     clip = jax.random.normal(
         jax.random.PRNGKey(0), (B, 16, 224, 224, 3), jnp.float32
     )
+    # synthetic per-frame motion boxes (x1, y1, x2, y2) in pixel space
+    bk1, bk2 = jax.random.split(jax.random.PRNGKey(3))
+    xy1 = jax.random.uniform(bk1, (B, 16, 2), minval=0.0, maxval=96.0)
+    wh = jax.random.uniform(bk2, (B, 16, 2), minval=48.0, maxval=128.0)
+    boxes = jnp.concatenate([xy1, xy1 + wh], axis=-1)
     vis0 = jnp.zeros((B, cfg.num_tokens - cfg.num_masked), jnp.int32)
     msk0 = jnp.zeros((B, cfg.num_masked), jnp.int32)
     params = model.init(jax.random.PRNGKey(1), clip, vis0, msk0)["params"]
@@ -83,11 +94,11 @@ def main():
     )
     state = TrainState.create(params, tx)
     step = jax.jit(make_pretrain_step(model, tx, cfg, lr))
-    batch = {"clip": clip}
+    batch = {"clip": clip, "boxes": boxes}
     rng = jax.random.PRNGKey(2)
 
     # warmup + compile
-    state, metrics = step(state, batch, rng, 0.0)
+    state, metrics = step(state, batch, rng, 0.5)
     jax.block_until_ready(metrics["loss"])
 
     # enqueue a chain of steps, block once at the end: steps execute
@@ -96,7 +107,7 @@ def main():
     n_iters = 30
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        state, metrics = step(state, batch, rng, 0.0)
+        state, metrics = step(state, batch, rng, 0.5)
     jax.block_until_ready(metrics["loss"])
     dt = (time.perf_counter() - t0) / n_iters
 

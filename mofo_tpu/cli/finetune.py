@@ -438,6 +438,8 @@ def main(args=None):
         out = {"clip": clips, "label": batch["label"]}
         if boxes_t is not None:
             out["boxes"] = boxes_t
+        if "valid" in batch:
+            out["valid"] = batch["valid"]
         return out
 
     step_fn = jax.jit(
@@ -465,11 +467,13 @@ def main(args=None):
         for batch in val_loader:
             batch = val_augment(batch)
             out = eval_fn(params, batch)
-            logger.update(
+            n = int(out.get("n_valid", batch["label"].shape[0]))
+            logger.update_weighted(
+                n,
                 loss=float(out["loss"]), acc1=float(out["acc1"]),
                 acc5=float(out["acc5"]),
             )
-        stats = logger.epoch_stats()
+        stats = logger.epoch_stats(sync=True)
         log(f"* Acc@1 {stats.get('acc1', 0):.3f} "
             f"Acc@5 {stats.get('acc5', 0):.3f} "
             f"loss {stats.get('loss', 0):.3f}")
@@ -509,7 +513,11 @@ def main(args=None):
         stats["epoch"] = epoch
         jsonl.write(stats)
         wandb.log(stats, step=epoch)
-        if args.output_dir and distributed.is_main_process():
+        if args.output_dir:
+            # orbax saves of sharded arrays are collective: every process
+            # must call save (each writes its own shards); val_stats is
+            # process-synced (epoch_stats(sync=True)) so the best-ckpt
+            # decision agrees across processes
             if (epoch + 1) % cfg.save_ckpt_freq == 0 or \
                epoch + 1 == cfg.epochs:
                 ckpt.save_checkpoint(args.output_dir, state, step=epoch)
@@ -517,7 +525,8 @@ def main(args=None):
                 best_acc1 = val_stats["acc1"]
                 ckpt.save_checkpoint(args.output_dir, state, step=epoch,
                                      name="checkpoint-best")
-                log(f"new best acc1 {best_acc1:.3f}")
+                if distributed.is_main_process():
+                    log(f"new best acc1 {best_acc1:.3f}")
         # early stopping on val loss (run_class_finetuning.py:582-598)
         if args.early_stop_patience > 0:
             if val_stats.get("loss", 0.0) < best_val_loss - 1e-6:
@@ -575,26 +584,51 @@ def final_test(model, params, test_ds, cfg, mesh, bb_focused, log,
         )
         for s in range(n_crops)
     ]
+    # BB-focused: boxes must follow the clips through the resize + view
+    # window into crop space, or the in-box token map is misaligned
+    # (the reference's BB test transforms track the bbox end-to-end,
+    # video_transforms_BB_focused.py).
+    view_augs_bb = [
+        jax.jit(
+            lambda c, bx, s=s: A.test_view_augment(
+                c, s, out_size=cfg.input_size, short_side=cfg.input_size,
+                num_crops=n_crops, boxes=bx,
+            )
+        )
+        for s in range(n_crops)
+    ]
     for batch in loader:
-        # group by split_nb on host (views need different crop windows)
+        # group by split_nb on host (views need different crop windows);
+        # drop rows the loader padded in to keep batches mesh-divisible
         split = np.asarray(batch["split_nb"])
+        valid = np.asarray(
+            batch.get("valid", np.ones(split.shape[0], bool))
+        )
         clips = batch["clip"]
         for s in range(n_crops):
-            sel = np.nonzero(split == s)[0]
+            sel = np.nonzero((split == s) & valid)[0]
             if len(sel) == 0:
                 continue
             sub = {
                 k: (v[jnp.asarray(sel)] if hasattr(v, "shape") else v)
                 for k, v in batch.items()
             }
-            aug_clips = view_augs[s](sub["clip"])
-            eb = {"clip": aug_clips, "label": sub["label"]}
             if bb_focused:
-                eb["boxes"] = sub.get(
-                    "boxes", jnp.zeros(
-                        (len(sel), cfg.num_frames, 4)
-                    )
+                raw_boxes = sub.get(
+                    "boxes",
+                    jnp.zeros((len(sel), cfg.num_frames, 4)),
                 )
+                aug_clips, aug_boxes = view_augs_bb[s](
+                    sub["clip"], raw_boxes
+                )
+                eb = {
+                    "clip": aug_clips,
+                    "label": sub["label"],
+                    "boxes": aug_boxes,
+                }
+            else:
+                aug_clips = view_augs[s](sub["clip"])
+                eb = {"clip": aug_clips, "label": sub["label"]}
             out = eval_fn(params, eb)
             agg.add(
                 [str(int(v)) for v in np.asarray(sub["video_idx"])],
@@ -603,6 +637,11 @@ def final_test(model, params, test_ds, cfg, mesh, bb_focused, log,
                 np.asarray(out["logits"]),
                 np.asarray(sub["label"]).tolist(),
             )
+    # merge every process's view rows before scoring (replaces the
+    # reference's per-rank prediction files + rank-0 merge)
+    from mofo_tpu.eval.multiview import gather_across_processes
+
+    agg = gather_across_processes(agg)
     top1, top5, _ = agg.finalize()
     log(f"Final test: Acc@1 {top1:.2f} Acc@5 {top5:.2f}")
     if action_to_vn is not None:

@@ -327,8 +327,11 @@ def main(args=None):
             (epoch + 1) % cfg.save_ckpt_freq == 0
             or epoch + 1 == cfg.epochs
         ):
+            # orbax saves of sharded arrays are collective: every process
+            # must participate (each writes its own shards); only logging
+            # stays rank-0
+            ckpt.save_checkpoint(args.output_dir, state, step=epoch)
             if distributed.is_main_process():
-                ckpt.save_checkpoint(args.output_dir, state, step=epoch)
                 log(f"saved checkpoint-{epoch}")
     total = time.time() - t_start
     log(f"Training time {total:.0f}s")

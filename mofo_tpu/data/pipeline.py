@@ -293,9 +293,22 @@ def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
 
 
 class PrefetchLoader:
-    """Background-thread loader: sample -> batch -> (optionally sharded)
+    """Background loader: sample -> batch -> (optionally sharded)
     device_put. Replaces DataLoader(num_workers, prefetch) for the thin
-    host pipeline. drop_last semantics like the reference train loaders."""
+    host pipeline. drop_last semantics like the reference train loaders.
+
+    - num_workers > 1 decodes samples of a batch concurrently in a thread
+      pool (FFmpeg decode releases the GIL), the analogue of the
+      reference's DataLoader(num_workers=4) per rank.
+    - drop_last=False pads the final partial batch up to batch_size by
+      wrapping to the front of the index list (DistributedSampler-style),
+      keeping every batch mesh-divisible; padded rows are flagged False
+      in the emitted "valid" mask.
+    - Under multi-process JAX (jax.process_count() > 1) host-local arrays
+      are assembled into global arrays via
+      jax.make_array_from_process_local_data — a plain device_put of a
+      host-local batch onto a global-mesh sharding is invalid there.
+    """
 
     def __init__(
         self,
@@ -306,6 +319,7 @@ class PrefetchLoader:
         prefetch: int = 2,
         drop_last: bool = True,
         to_device: bool = True,
+        num_workers: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -315,6 +329,7 @@ class PrefetchLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.to_device = to_device
+        self.num_workers = max(1, num_workers)
 
     def __len__(self) -> int:
         n = len(self.sampler.indices())
@@ -322,9 +337,39 @@ class PrefetchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _fetch(self, sel) -> Dict[str, np.ndarray]:
+        if self.num_workers > 1 and len(sel) > 1:
+            if self._pool is None:
+                import concurrent.futures as cf
+
+                self._pool = cf.ThreadPoolExecutor(self.num_workers)
+            samples = list(
+                self._pool.map(
+                    lambda i: self.dataset[int(i)], sel
+                )
+            )
+        else:
+            samples = [self.dataset[int(i)] for i in sel]
+        return collate(samples)
+
+    def _to_global(self, batch: Dict) -> Dict:
+        if self.sharding is not None:
+            if jax.process_count() > 1:
+                return jax.tree.map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        self.sharding, np.asarray(x)
+                    ),
+                    batch,
+                )
+            return jax.tree.map(
+                lambda x: jax.device_put(x, self.sharding), batch
+            )
+        return jax.tree.map(jax.device_put, batch)
+
     def __iter__(self) -> Iterator[Dict]:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        self._pool = None
 
         def worker():
             try:
@@ -334,7 +379,17 @@ class PrefetchLoader:
                     if stop.is_set():
                         return
                     sel = idxs[b * self.batch_size:(b + 1) * self.batch_size]
-                    batch = collate([self.dataset[int(i)] for i in sel])
+                    n_real = len(sel)
+                    if not self.drop_last and n_real < self.batch_size:
+                        pad = np.resize(
+                            idxs, self.batch_size - n_real
+                        )
+                        sel = np.concatenate([sel, pad])
+                    batch = self._fetch(sel)
+                    if not self.drop_last:
+                        valid = np.zeros(len(sel), dtype=bool)
+                        valid[:n_real] = True
+                        batch["valid"] = valid
                     q.put(batch)
             except Exception as e:  # surface errors to the consumer
                 q.put(e)
@@ -351,13 +406,10 @@ class PrefetchLoader:
                 if isinstance(item, Exception):
                     raise item
                 if self.to_device:
-                    if self.sharding is not None:
-                        item = jax.tree.map(
-                            lambda x: jax.device_put(x, self.sharding),
-                            item,
-                        )
-                    else:
-                        item = jax.tree.map(jax.device_put, item)
+                    item = self._to_global(item)
                 yield item
         finally:
             stop.set()
+            if self._pool is not None:
+                self._pool.shutdown(wait=False)
+                self._pool = None

@@ -109,6 +109,72 @@ class MultiViewAggregator:
         return agg
 
 
+_VID_BYTES = 64
+
+
+def _encode_vids(vids: Sequence[str], width: int = _VID_BYTES) -> np.ndarray:
+    arr = np.zeros((len(vids), width), np.uint8)
+    for i, v in enumerate(vids):
+        b = str(v).encode("utf-8")[:width]
+        arr[i, : len(b)] = np.frombuffer(b, np.uint8)
+    return arr
+
+
+def _decode_vids(arr: np.ndarray) -> List[str]:
+    return [
+        bytes(row.tobytes()).rstrip(b"\x00").decode("utf-8") for row in arr
+    ]
+
+
+def gather_across_processes(agg: "MultiViewAggregator") -> "MultiViewAggregator":
+    """Merge per-process aggregator rows into one global aggregator.
+
+    Replaces the reference's filesystem gather of per-rank prediction
+    files (<rank>.txt write + rank-0 merge, engine_for_finetuning.py:
+    281-339) with a padded multihost allgather. No-op single-process."""
+    import jax
+
+    if jax.process_count() == 1:
+        return agg
+    from jax.experimental import multihost_utils
+
+    vids, meta, logits = agg.state_arrays()
+    n = len(vids)
+    c = logits.shape[1] if n else 0
+    dims = np.asarray(
+        multihost_utils.process_allgather(np.asarray([n, c], np.int64))
+    )
+    max_n = int(dims[:, 0].max())
+    num_cls = int(dims[:, 1].max())
+    if max_n == 0:
+        return agg
+
+    def pad_to(a, shape, dtype):
+        out = np.zeros(shape, dtype)
+        if a.size:
+            out[: a.shape[0], ...] = a
+        return out
+
+    vid_g = np.asarray(multihost_utils.process_allgather(
+        pad_to(_encode_vids(vids), (max_n, _VID_BYTES), np.uint8)
+    ))
+    meta_g = np.asarray(multihost_utils.process_allgather(
+        pad_to(np.asarray(meta, np.int64), (max_n, 3), np.int64)
+    ))
+    logit_g = np.asarray(multihost_utils.process_allgather(
+        pad_to(
+            np.asarray(logits, np.float32), (max_n, num_cls), np.float32
+        )
+    ))
+    parts = []
+    for p in range(dims.shape[0]):
+        k = int(dims[p, 0])
+        parts.append(
+            (_decode_vids(vid_g[p, :k]), meta_g[p, :k], logit_g[p, :k])
+        )
+    return MultiViewAggregator.from_parts(parts)
+
+
 # ---------------------------------------------------------------------------
 # EK-100 verb/noun marginalization (utils.py:584-606)
 # ---------------------------------------------------------------------------

@@ -91,6 +91,19 @@ def dot_product_attention(
         )
         impl = "pallas" if use_pallas else "xla"
     if impl == "pallas":
+        # the fused kernel supports neither a bias term nor attention
+        # dropout — refuse rather than silently dropping them
+        if bias is not None:
+            raise ValueError(
+                "impl='pallas' does not support an attention bias; use "
+                "impl='xla' (or 'auto')."
+            )
+        if dropout_rate > 0.0 and not deterministic:
+            raise ValueError(
+                "impl='pallas' does not support attention dropout "
+                f"(attn_drop_rate={dropout_rate}); use impl='xla' (or "
+                "'auto', which falls back when dropout is active)."
+            )
         from mofo_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)

@@ -36,17 +36,20 @@ def _to_float01(clips_u8: Array) -> Array:
 
 
 def _map_boxes_through_crop(
-    boxes: Array, crop: Array, out_size: int
+    boxes: Array, crop: Array, out_size
 ) -> Array:
     """boxes: (B, T, 4) (x1, y1, x2, y2) source pixels; crop: (B, 4)
     (y1, x1, y2, x2). Clamp to the crop then scale to the output, like the
     albumentations Crop+Resize pascal_voc tracking (transforms.py:102-135).
-    Boxes that vanish become [0, 0, 1, 1]."""
+    Boxes that vanish become [0, 0, 1, 1]. out_size: int or (h, w)."""
+    out_h, out_w = (
+        (out_size, out_size) if isinstance(out_size, int) else out_size
+    )
     cy1, cx1, cy2, cx2 = (
         crop[:, 0:1], crop[:, 1:2], crop[:, 2:3], crop[:, 3:4]
     )
-    sx = out_size / (cx2 - cx1)
-    sy = out_size / (cy2 - cy1)
+    sx = out_w / (cx2 - cx1)
+    sy = out_h / (cy2 - cy1)
     x1 = (jnp.clip(boxes[..., 0], cx1, cx2) - cx1) * sx
     y1 = (jnp.clip(boxes[..., 1], cy1, cy2) - cy1) * sy
     x2 = (jnp.clip(boxes[..., 2], cx1, cx2) - cx1) * sx
@@ -166,6 +169,6 @@ def test_view_augment(
     if boxes is not None:
         scale = jnp.asarray([rw / W0, rh / H0, rw / W0, rh / H0])
         out_boxes = _map_boxes_through_crop(
-            boxes * scale, crop, max(out_h, out_w)
+            boxes * scale, crop, (out_h, out_w)
         )
     return x, out_boxes

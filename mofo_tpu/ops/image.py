@@ -170,10 +170,12 @@ _MSC_SCALES = (1.0, 0.875, 0.75, 0.66)
 _MSC_MAX_DISTORT = 1
 
 
-def _msc_size_pairs(base: int) -> np.ndarray:
+def _msc_size_pairs(base: int, out_size: int) -> np.ndarray:
+    """Crop size pairs drawn from scales of min(H, W) of the decoded frame
+    (transforms.py:143-152): sizes = int(min(H,W) * scale), then any size
+    within 3px of the network input size snaps to it exactly."""
     sizes = [int(base * s) for s in _MSC_SCALES]
-    # the reference snaps sizes within 3px of the input size to it
-    # (transforms.py:233-236); with crop base == min(H, W) this is exact
+    sizes = [out_size if abs(s - out_size) < 3 else s for s in sizes]
     pairs = []
     for i, h in enumerate(sizes):
         for j, w in enumerate(sizes):
@@ -212,9 +214,10 @@ def multi_scale_crop_boxes(
     rng: Array, batch: int, img_hw: Tuple[int, int], base_size: int
 ) -> Array:
     """GroupMultiScaleCrop crop boxes: random size pair from the
-    max-distort-1 scale grid, random fixed offset. (B, 4) (y1,x1,y2,x2)."""
+    max-distort-1 scale grid over min(H, W) (snapping near-base_size sizes
+    to base_size), random fixed offset. (B, 4) (y1,x1,y2,x2)."""
     H, W = img_hw
-    pairs = jnp.asarray(_msc_size_pairs(min(base_size, min(H, W))))
+    pairs = jnp.asarray(_msc_size_pairs(min(H, W), base_size))
     r_pair, r_off = jax.random.split(rng)
     pair_idx = jax.random.randint(r_pair, (batch,), 0, pairs.shape[0])
     ch = pairs[pair_idx, 0]

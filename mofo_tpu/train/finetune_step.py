@@ -168,12 +168,22 @@ def make_eval_step(
             )
         else:
             logits = model.apply({"params": params}, clip)
-        loss = losses.cross_entropy(logits, label)
-        acc1, acc5 = losses.accuracy(logits, label, topk=(1, 5))
+        # "valid" flags real rows when the loader padded the final batch
+        # to a mesh-divisible size; metrics average over real rows only.
+        valid = batch.get("valid")
+        w = (
+            jnp.ones(label.shape[0], jnp.float32)
+            if valid is None
+            else valid.astype(jnp.float32)
+        )
+        n = jnp.maximum(jnp.sum(w), 1.0)
+        nll = losses.cross_entropy_per_sample(logits, label)
+        hit1, hit5 = losses.topk_hits(logits, label, topk=(1, 5))
         return {
-            "loss": loss,
-            "acc1": acc1,
-            "acc5": acc5,
+            "loss": jnp.sum(nll * w) / n,
+            "acc1": jnp.sum(hit1 * w) / n * 100.0,
+            "acc5": jnp.sum(hit5 * w) / n * 100.0,
+            "n_valid": n,
             "logits": logits.astype(jnp.float32),
         }
 

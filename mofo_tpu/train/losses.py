@@ -47,3 +47,19 @@ def accuracy(logits: Array, targets: Array, topk=(1,)) -> tuple:
         hit = jnp.any(ranks[:, :k] == targets[:, None], axis=-1)
         out.append(jnp.mean(hit.astype(jnp.float32)) * 100.0)
     return tuple(out)
+
+
+def cross_entropy_per_sample(logits: Array, targets: Array) -> Array:
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
+
+
+def topk_hits(logits: Array, targets: Array, topk=(1,)) -> tuple:
+    """Per-sample top-k hit indicators (float 0/1)."""
+    ranks = jnp.argsort(-logits, axis=-1)
+    return tuple(
+        jnp.any(ranks[:, :k] == targets[:, None], axis=-1).astype(
+            jnp.float32
+        )
+        for k in topk
+    )

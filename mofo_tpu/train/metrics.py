@@ -79,6 +79,14 @@ class MetricLogger:
                 v = float(v)
             self.meters[k].update(v)
 
+    def update_weighted(self, n: int, **kwargs):
+        """Update meters with a sample count, so global_avg weights
+        batches by their real (non-padded) size."""
+        for k, v in kwargs.items():
+            if hasattr(v, "item"):
+                v = float(v)
+            self.meters[k].update(v, n=max(int(n), 0) or 1)
+
     def add_meter(self, name: str, meter: SmoothedValue):
         self.meters[name] = meter
 
@@ -127,7 +135,30 @@ class MetricLogger:
             f"({elapsed / max(i, 1):.4f} s / it)"
         )
 
-    def epoch_stats(self) -> Dict[str, float]:
+    def epoch_stats(self, sync: bool = False) -> Dict[str, float]:
+        """Per-meter global averages. sync=True reduces (total, count)
+        across JAX processes first — the MetricLogger
+        synchronize_between_processes allreduce (utils.py:45-56)."""
+        if sync:
+            import jax
+
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                names = sorted(self.meters)
+                local = np.asarray(
+                    [[self.meters[k].total, self.meters[k].count]
+                     for k in names],
+                    dtype=np.float64,
+                )
+                gathered = np.asarray(
+                    multihost_utils.process_allgather(local)
+                )  # (P, N, 2)
+                tot = gathered.sum(axis=0)
+                return {
+                    k: float(tot[i, 0] / max(tot[i, 1], 1.0))
+                    for i, k in enumerate(names)
+                }
         return {k: m.global_avg for k, m in self.meters.items()}
 
 

@@ -50,13 +50,23 @@ class TestCropResize:
         assert (areas >= 0.0799 * 224 * 224).all()
 
     def test_multi_scale_crop_sizes(self):
+        # base = min(H, W) = 256 (transforms.py:143-146): sizes are scales
+        # of the decoded short side, with near-224 sizes snapped to 224
+        # (int(256*.875)=224 exactly here).
         boxes = I.multi_scale_crop_boxes(
             jax.random.PRNGKey(1), 128, (256, 320), 224)
         b = np.asarray(boxes)
         sizes = {int(round(x)) for x in (b[:, 2] - b[:, 0])}
-        allowed = {224, int(224 * 0.875), int(224 * 0.75), int(224 * 0.66)}
+        allowed = {256, 224, int(256 * 0.75), int(256 * 0.66)}
         assert sizes <= allowed
+        assert 256 in sizes  # full short side must be reachable
         assert (b[:, 2] <= 256 + 1e-3).all() and (b[:, 3] <= 320 + 1e-3).all()
+
+    def test_multi_scale_crop_snap(self):
+        # a 226-px short side: int(226*1.0)=226 is within 3px of 224 → snaps
+        pairs = I._msc_size_pairs(226, 224)
+        assert 226 not in set(pairs.flatten().astype(int))
+        assert 224 in set(pairs.flatten().astype(int))
 
     def test_three_crop(self):
         # landscape: crops slide along width
