@@ -153,17 +153,7 @@ class Attention(nn.Module):
             "qkv_kernel", self.kernel_init, (self.dim, 3 * all_head_dim),
             jnp.float32,
         )
-        # Produce (3, B, H, N, Dh) straight out of the projection einsum:
-        # the attention kernels want head-major layout, and baking it into
-        # the matmul's output indexing is far cheaper than transposing
-        # (B, N, 3, H, Dh) afterwards (measured ~8ms/block at the decoder
-        # shape for the transpose variant).
-        k4 = qkv_kernel.astype(self.dtype).reshape(
-            self.dim, 3, self.num_heads, head_dim
-        )
-        qkv = jnp.einsum(
-            "bnd,dthe->tbhne", x, k4, preferred_element_type=self.dtype
-        )
+        q_bias = v_bias = None
         if self.qkv_bias:
             q_bias = self.param(
                 "q_bias", nn.initializers.zeros, (all_head_dim,), jnp.float32
@@ -171,37 +161,102 @@ class Attention(nn.Module):
             v_bias = self.param(
                 "v_bias", nn.initializers.zeros, (all_head_dim,), jnp.float32
             )
-            bias = jnp.stack(
-                [q_bias, jnp.zeros_like(q_bias), v_bias]
-            ).astype(self.dtype).reshape(3, 1, self.num_heads, 1, head_dim)
-            qkv = qkv + bias
 
-        q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, N, Dh)
+        # Fused-path eligibility: the flat token-major layout feeds the
+        # Pallas multihead kernel with ZERO transposes — one flat MXU
+        # matmul for qkv and a flat matmul for the projection. The
+        # head-major path stays for short sequences (XLA attention),
+        # attention bias, active attention dropout, and prob sowing.
+        from mofo_tpu.ops.attention import _PALLAS_MIN_SEQ, _on_tpu
 
-        if self.sow_attn:
-            logits = jnp.einsum(
-                "bhqd,bhkd->bhqk", q * scale, k,
-                preferred_element_type=jnp.float32,
+        fusable = (
+            attn_bias is None
+            and (deterministic or self.attn_drop == 0.0)
+            and not self.sow_attn
+        )
+        if self.attn_impl == "pallas":
+            # dispatcher raises on bias/dropout for explicit pallas;
+            # keep that behavior for the flat path too
+            if attn_bias is not None:
+                raise ValueError(
+                    "attn_impl='pallas' does not support an attention bias"
+                )
+            if self.attn_drop > 0.0 and not deterministic:
+                raise ValueError(
+                    "attn_impl='pallas' does not support attention dropout"
+                )
+            use_flat = not self.sow_attn
+        elif self.attn_impl == "auto":
+            use_flat = fusable and _on_tpu() and N >= _PALLAS_MIN_SEQ
+        else:
+            use_flat = False
+
+        if use_flat:
+            from mofo_tpu.ops.flash_attention import flash_attention_mh
+
+            qkv = jnp.einsum(
+                "bnd,de->bne", x, qkv_kernel.astype(self.dtype),
+                preferred_element_type=self.dtype,
+            )  # (B, N, 3*H*Dh), laid out [q | k | v], heads contiguous
+            if self.qkv_bias:
+                bias_flat = jnp.concatenate(
+                    [q_bias, jnp.zeros_like(q_bias), v_bias]
+                ).astype(self.dtype)
+                qkv = qkv + bias_flat
+            q = qkv[:, :, :all_head_dim]
+            k = qkv[:, :, all_head_dim:2 * all_head_dim]
+            v = qkv[:, :, 2 * all_head_dim:]
+            out = flash_attention_mh(
+                q, k, v, scale=scale, num_heads=self.num_heads
+            )  # (B, N, H*Dh) — already projection-ready
+        else:
+            # head-major path: (3, B, H, N, Dh) straight out of the
+            # projection einsum (cheaper than transposing afterwards)
+            k4 = qkv_kernel.astype(self.dtype).reshape(
+                self.dim, 3, self.num_heads, head_dim
             )
-            self.sow(
-                "intermediates", "attn_probs",
-                jax.nn.softmax(logits, axis=-1),
+            qkv = jnp.einsum(
+                "bnd,dthe->tbhne", x, k4, preferred_element_type=self.dtype
             )
+            if self.qkv_bias:
+                bias = jnp.stack(
+                    [q_bias, jnp.zeros_like(q_bias), v_bias]
+                ).astype(self.dtype).reshape(
+                    3, 1, self.num_heads, 1, head_dim
+                )
+                qkv = qkv + bias
 
-        dropout_rng = None
-        if not deterministic and self.attn_drop > 0.0:
-            dropout_rng = self.make_rng("dropout")
-        out = dot_product_attention(
-            q,
-            k,
-            v,
-            scale=scale,
-            bias=attn_bias,
-            dropout_rate=self.attn_drop,
-            dropout_rng=dropout_rng,
-            deterministic=deterministic,
-            impl=self.attn_impl,
-        )  # (B, H, N, Dh)
+            q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, N, Dh)
+
+            if self.sow_attn:
+                logits = jnp.einsum(
+                    "bhqd,bhkd->bhqk", q * scale, k,
+                    preferred_element_type=jnp.float32,
+                )
+                self.sow(
+                    "intermediates", "attn_probs",
+                    jax.nn.softmax(logits, axis=-1),
+                )
+
+            dropout_rng = None
+            if not deterministic and self.attn_drop > 0.0:
+                dropout_rng = self.make_rng("dropout")
+            out = dot_product_attention(
+                q,
+                k,
+                v,
+                scale=scale,
+                bias=attn_bias,
+                dropout_rate=self.attn_drop,
+                dropout_rng=dropout_rng,
+                deterministic=deterministic,
+                impl="xla" if self.attn_impl == "pallas" else self.attn_impl,
+            )  # (B, H, N, Dh)
+            # explicit transpose + flat matmul beats the strided-h einsum
+            # "bhne,hed->bnd" (the h contraction dim is not contiguous in
+            # head-major layout)
+            out = out.transpose(0, 2, 1, 3).reshape(B, N, all_head_dim)
+
         pk = self.param(
             "proj_kernel", self.kernel_init, (all_head_dim, self.dim),
             jnp.float32,
@@ -209,10 +264,6 @@ class Attention(nn.Module):
         pb = self.param(
             "proj_bias", nn.initializers.zeros, (self.dim,), jnp.float32
         )
-        # explicit transpose + flat matmul beats the strided-h einsum
-        # "bhne,hed->bnd" by ~1.7x on TPU (the h contraction dim is not
-        # contiguous in head-major layout)
-        out = out.transpose(0, 2, 1, 3).reshape(B, N, all_head_dim)
         out = jnp.einsum(
             "bnh,hd->bnd", out, pk.astype(self.dtype),
             preferred_element_type=self.dtype,

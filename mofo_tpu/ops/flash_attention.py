@@ -294,3 +294,293 @@ def flash_attention(
     vt = v.reshape(B * H, N, D)
     out = _flash(qt, kt, vt, scale, interpret)
     return out.reshape(B, H, N, D)
+
+
+# ---------------------------------------------------------------------------
+# Multihead flat-layout kernels: q/k/v as (B, N, H*D) with a static in-kernel
+# head loop over 64-lane slices.
+#
+# Why: the (B, N, H*D) token-major layout is what the qkv projection produces
+# as ONE flat MXU matmul and what the output projection consumes — measured
+# ~2x faster than the strided head-major einsum, with zero transposes in the
+# module. Each program also loads K/V once for ALL heads (H x less DMA than
+# the per-(batch, head) grid above).
+# ---------------------------------------------------------------------------
+
+
+def _mh_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                   scale, n_valid, heads):
+    # q: (1, bq, H*D); k, v: (1, Nk, H*D); o: (1, bq, H*D);
+    # lse: (1, 1, H, 8, bq) — per-head row logsumexp, replicated over the
+    # 8 sublanes (same Mosaic constraint as the head-major kernel above).
+    hd = q_ref.shape[-1] // heads
+    for h in range(heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh = q_ref[0][:, sl]
+        kh = k_ref[0][:, sl]
+        vh = v_ref[0][:, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_valid, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            (p / l).astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+        lse_row = (m[:, 0] + jnp.log(l[:, 0]))[None, :]
+        lse_ref[0, 0, h] = jnp.broadcast_to(lse_row, (8, lse_row.shape[1]))
+
+
+def _mh_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                  *, scale, n_valid, heads):
+    hd = q_ref.shape[-1] // heads
+    for h in range(heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh = q_ref[0][:, sl]
+        kh = k_ref[0][:, sl]
+        vh = v_ref[0][:, sl]
+        doh = do_ref[0][:, sl].astype(jnp.float32)
+        lse = lse_ref[0, 0, h, 0]
+        delta = delta_ref[0, 0, h, 0]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_valid, s, _NEG_INF)
+        p = jnp.exp(s - lse[:, None])
+        dp = jax.lax.dot_general(
+            doh, vh.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta[:, None]) * scale
+        dq = jax.lax.dot_general(
+            ds.astype(kh.dtype), kh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+
+
+def _mh_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   dk_ref, dv_ref, *, scale, n_valid, heads):
+    # k, v: (1, bk, H*D) blocks; q, do: (1, Nq, H*D) full; lse/delta:
+    # (1, nq, H, 8, bq) with +inf lse on padded q rows (P contribution 0).
+    # Outer loop over q blocks loads each (bq, H*D) slab once for all
+    # heads; inner static head loop works on 64-lane slices.
+    hd = k_ref.shape[-1] // heads
+    bk = k_ref.shape[1]
+    nq = lse_ref.shape[1]
+    bq = lse_ref.shape[4]
+    acc = [
+        [jnp.zeros((bk, hd), jnp.float32) for _ in range(heads)]
+        for _ in range(2)
+    ]
+    for qi in range(nq):
+        qb = q_ref[0, pl.ds(qi * bq, bq), :]
+        dob = do_ref[0, pl.ds(qi * bq, bq), :]
+        for h in range(heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            qh = qb[:, sl]
+            doh = dob[:, sl].astype(jnp.float32)
+            kh = k_ref[0][:, sl]
+            vh = v_ref[0][:, sl]
+            lse = lse_ref[0, qi, h, 0]
+            delta = delta_ref[0, qi, h, 0]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # (bq, bk)
+            p = jnp.exp(s - lse[:, None])
+            acc[1][h] = acc[1][h] + jax.lax.dot_general(
+                p.astype(doh.dtype), doh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                doh, vh.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - delta[:, None]) * scale
+            acc[0][h] = acc[0][h] + jax.lax.dot_general(
+                ds, qh.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    for h in range(heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        dk_ref[0, :, sl] = acc[0][h].astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = acc[1][h].astype(dv_ref.dtype)
+
+
+def _mh_fwd_impl(q, k, v, scale, heads, interpret):
+    """q, k, v: (B, N, H*D). Returns (out, lse (B, nq, H, 8, BQ))."""
+    B, N, A = q.shape
+    n_pad = -(-N // _BLOCK_Q) * _BLOCK_Q
+    qp = _pad_to(q, n_pad, 1)
+    kp = _pad_to(k, n_pad, 1)
+    vp = _pad_to(v, n_pad, 1)
+    nq = n_pad // _BLOCK_Q
+    grid = (B, nq)
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _mh_fwd_kernel, scale=scale, n_valid=N, heads=heads
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _BLOCK_Q, A), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, _BLOCK_Q, A), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, heads, 8, _BLOCK_Q),
+                         lambda b, i: (b, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_pad, A), q.dtype),
+            jax.ShapeDtypeStruct((B, nq, heads, 8, _BLOCK_Q), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :N], lse
+
+
+def _mh_bwd_impl(q, k, v, out, lse, do, scale, heads, interpret):
+    B, N, A = q.shape
+    hd = A // heads
+    n_pad = -(-N // _BLOCK_Q) * _BLOCK_Q
+    nq = n_pad // _BLOCK_Q
+    qp = _pad_to(q, n_pad, 1)
+    kp = _pad_to(k, n_pad, 1)
+    vp = _pad_to(v, n_pad, 1)
+    dop = _pad_to(do, n_pad, 1)
+
+    # per-head delta = sum_d do_h * out_h : (B, N, H)
+    delta = jnp.sum(
+        (do.astype(jnp.float32) * out.astype(jnp.float32)).reshape(
+            B, N, heads, hd
+        ),
+        axis=-1,
+    )
+    deltap = _pad_to(delta, n_pad, 1)  # (B, n_pad, H)
+    delta5 = jnp.broadcast_to(
+        deltap.reshape(B, nq, _BLOCK_Q, heads).transpose(0, 1, 3, 2)[
+            :, :, :, None, :
+        ],
+        (B, nq, heads, 8, _BLOCK_Q),
+    )
+    # +inf lse on padded q rows zeroes their contribution in the dkv kernel
+    row = jnp.arange(n_pad)[None, :]
+    row5 = jnp.broadcast_to(
+        row.reshape(1, nq, 1, 1, _BLOCK_Q), (B, nq, heads, 8, _BLOCK_Q)
+    )
+    lse5 = jnp.where(row5 < N, lse, jnp.inf)
+
+    grid = (B, nq)
+    dq = pl.pallas_call(
+        functools.partial(
+            _mh_dq_kernel, scale=scale, n_valid=N, heads=heads
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _BLOCK_Q, A), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLOCK_Q, A), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, heads, 8, _BLOCK_Q),
+                         lambda b, i: (b, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, heads, 8, _BLOCK_Q),
+                         lambda b, i: (b, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _BLOCK_Q, A), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, A), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse5, delta5)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _mh_dkv_kernel, scale=scale, n_valid=N, heads=heads
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLOCK_Q, A), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLOCK_Q, A), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq, heads, 8, _BLOCK_Q),
+                         lambda b, i: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq, heads, 8, _BLOCK_Q),
+                         lambda b, i: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, _BLOCK_Q, A), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLOCK_Q, A), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_pad, A), q.dtype),
+            jax.ShapeDtypeStruct((B, n_pad, A), q.dtype),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse5, delta5)
+    return dq[:, :N], dk[:, :N], dv[:, :N]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _mh_flash(q, k, v, scale, heads, interpret):
+    out, _ = _mh_fwd_impl(q, k, v, scale, heads, interpret)
+    return out
+
+
+def _mh_flash_fwd(q, k, v, scale, heads, interpret):
+    out, lse = _mh_fwd_impl(q, k, v, scale, heads, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _mh_flash_bwd(scale, heads, interpret, res, do):
+    q, k, v, out, lse = res
+    dq, dk, dv = _mh_bwd_impl(
+        q, k, v, out, lse, do, scale, heads, interpret
+    )
+    return dq, dk, dv
+
+
+_mh_flash.defvjp(_mh_flash_fwd, _mh_flash_bwd)
+
+
+def flash_attention_mh(
+    q: Array, k: Array, v: Array, *, scale: float, num_heads: int,
+    interpret: bool | None = None,
+) -> Array:
+    """Fused multihead attention in token-major flat layout.
+
+    q, k, v: (B, N, H*Dh) — the layout the fused qkv matmul produces and
+    the output projection consumes, so the module needs no transposes.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    assert q.shape[-1] % num_heads == 0, (q.shape, num_heads)
+    return _mh_flash(q, k, v, scale, num_heads, interpret)

@@ -9,13 +9,20 @@ not yet initialized at collection time, so this still takes effect.
 
 import os
 
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+# MOFO_TPU_TESTS=1 keeps the real TPU backend so the tpu-gated kernel
+# tests (tests/test_tpu_kernels.py) exercise compiled Mosaic kernels:
+#   MOFO_TPU_TESTS=1 python -m pytest tests/test_tpu_kernels.py -q
+_USE_TPU = os.environ.get("MOFO_TPU_TESTS") == "1"
+
+if not _USE_TPU:
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")

@@ -59,3 +59,73 @@ def test_bf16_forward_close():
         np.asarray(ours, dtype=np.float32), np.asarray(ref),
         atol=3e-2, rtol=3e-2,
     )
+
+
+# ---------------------------------------------------------------------------
+# Multihead flat-layout kernels (flash_attention_mh)
+# ---------------------------------------------------------------------------
+
+from mofo_tpu.ops.flash_attention import flash_attention_mh  # noqa: E402
+
+
+def _flat_qkv(B=2, N=160, H=3, D=64, seed=1):
+    rng = np.random.RandomState(seed)
+    mk = lambda: jnp.asarray(rng.randn(B, N, H * D).astype(np.float32))
+    return mk(), mk(), mk()
+
+
+def _xla_flat(q, k, v, scale, heads):
+    B, N, A = q.shape
+    hd = A // heads
+    to4 = lambda t: t.reshape(B, N, heads, hd).transpose(0, 2, 1, 3)
+    o = xla_attention(to4(q), to4(k), to4(v), scale=scale)
+    return o.transpose(0, 2, 1, 3).reshape(B, N, A)
+
+
+@pytest.mark.parametrize("N", [128, 160, 1568])
+def test_mh_forward_matches_xla(N):
+    q, k, v = _flat_qkv(N=N)
+    scale = 64**-0.5
+    ours = flash_attention_mh(
+        q, k, v, scale=scale, num_heads=3, interpret=True
+    )
+    ref = _xla_flat(q, k, v, scale, 3)
+    np.testing.assert_allclose(
+        np.asarray(ours), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_mh_gradients_match_xla():
+    q, k, v = _flat_qkv(N=300, B=1, H=2)
+    scale = 64**-0.5
+
+    def loss_mh(q, k, v):
+        out = flash_attention_mh(
+            q, k, v, scale=scale, num_heads=2, interpret=True
+        )
+        return jnp.sum(jnp.sin(out))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(_xla_flat(q, k, v, scale, 2)))
+
+    g_ours = jax.grad(loss_mh, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ours, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5, rtol=3e-5,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_mh_bf16_forward_close():
+    q, k, v = _flat_qkv(N=256)
+    q16, k16, v16 = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    scale = 64**-0.5
+    ours = flash_attention_mh(
+        q16, k16, v16, scale=scale, num_heads=3, interpret=True
+    )
+    ref = _xla_flat(q, k, v, scale, 3)
+    np.testing.assert_allclose(
+        np.asarray(ours, dtype=np.float32), np.asarray(ref),
+        atol=3e-2, rtol=3e-2,
+    )
