@@ -328,76 +328,67 @@ def _mh_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
+        # fold the 1/l normalization into the (bq, D) output instead of
+        # dividing the full (bq, Nk) probability block (VPU savings)
         o = jax.lax.dot_general(
-            (p / l).astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+            p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ) / l
         o_ref[0, :, sl] = o.astype(o_ref.dtype)
         lse_row = (m[:, 0] + jnp.log(l[:, 0]))[None, :]
         lse_ref[0, 0, h] = jnp.broadcast_to(lse_row, (8, lse_row.shape[1]))
 
 
-def _mh_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                  *, scale, n_valid, heads):
-    hd = q_ref.shape[-1] // heads
-    for h in range(heads):
-        sl = slice(h * hd, (h + 1) * hd)
-        qh = q_ref[0][:, sl]
-        kh = k_ref[0][:, sl]
-        vh = v_ref[0][:, sl]
-        doh = do_ref[0][:, sl].astype(jnp.float32)
-        lse = lse_ref[0, 0, h, 0]
-        delta = delta_ref[0, 0, h, 0]
-        s = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < n_valid, s, _NEG_INF)
-        p = jnp.exp(s - lse[:, None])
-        dp = jax.lax.dot_general(
-            doh, vh.astype(jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - delta[:, None]) * scale
-        dq = jax.lax.dot_general(
-            ds.astype(kh.dtype), kh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+def _mh_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, ld_ref,
+                    dq_ref, dk_ref, dv_ref, dq_acc_ref,
+                    *, scale, n_valid, heads):
+    # ONE backward pass for dq, dk, dv: grid (B, nk), sequential over kv
+    # blocks. k/v/dk/dv: (1, bk, H*D) blocks; q/do/dq: (1, Nq, H*D) full
+    # (dq is a float32 VMEM accumulator revisited across the nk steps —
+    # zeroed at ki == 0). Computing s/P once per (q-block, kv-block, head)
+    # serves all three gradients: 5 matmuls + 1 exp per tile, vs 7
+    # matmuls + 2 exps for the split dq/dkv formulation.
+    # ld: (1, nq, 2*heads, bq) — rows [0, H) are per-head lse, rows
+    # [H, 2H) are per-head delta. Compact (no 8-sublane replication) to
+    # stay inside the VMEM budget; +inf lse on padded q rows makes their
+    # P (and so all their contributions) exactly zero.
+    # dq accumulates in float32 VMEM *scratch* (single-buffered, unlike
+    # outputs) and is written to the bf16 output once, at the last step.
+    ki = pl.program_id(1)
+    nk = pl.num_programs(1)
 
+    @pl.when(ki == 0)
+    def _zero():
+        dq_acc_ref[...] = jnp.zeros(dq_acc_ref.shape, dq_acc_ref.dtype)
 
-def _mh_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                   dk_ref, dv_ref, *, scale, n_valid, heads):
-    # k, v: (1, bk, H*D) blocks; q, do: (1, Nq, H*D) full; lse/delta:
-    # (1, nq, H, 8, bq) with +inf lse on padded q rows (P contribution 0).
-    # Outer loop over q blocks loads each (bq, H*D) slab once for all
-    # heads; inner static head loop works on 64-lane slices.
-    hd = k_ref.shape[-1] // heads
+    A = k_ref.shape[-1]
+    hd = A // heads
     bk = k_ref.shape[1]
-    nq = lse_ref.shape[1]
-    bq = lse_ref.shape[4]
-    acc = [
-        [jnp.zeros((bk, hd), jnp.float32) for _ in range(heads)]
-        for _ in range(2)
-    ]
+    nq = ld_ref.shape[1]
+    bq = ld_ref.shape[3]
+    k0 = ki * bk
+    dk_acc = [jnp.zeros((bk, hd), jnp.float32) for _ in range(heads)]
+    dv_acc = [jnp.zeros((bk, hd), jnp.float32) for _ in range(heads)]
     for qi in range(nq):
         qb = q_ref[0, pl.ds(qi * bq, bq), :]
         dob = do_ref[0, pl.ds(qi * bq, bq), :]
+        dq_pieces = []
         for h in range(heads):
             sl = slice(h * hd, (h + 1) * hd)
             qh = qb[:, sl]
             doh = dob[:, sl].astype(jnp.float32)
             kh = k_ref[0][:, sl]
             vh = v_ref[0][:, sl]
-            lse = lse_ref[0, qi, h, 0]
-            delta = delta_ref[0, qi, h, 0]
+            lse = ld_ref[0, qi, h]
+            delta = ld_ref[0, qi, heads + h]
             s = jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale  # (bq, bk)
+            col = k0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n_valid, s, _NEG_INF)
             p = jnp.exp(s - lse[:, None])
-            acc[1][h] = acc[1][h] + jax.lax.dot_general(
+            dv_acc[h] = dv_acc[h] + jax.lax.dot_general(
                 p.astype(doh.dtype), doh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -406,14 +397,25 @@ def _mh_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 preferred_element_type=jnp.float32,
             )
             ds = p * (dp - delta[:, None]) * scale
-            acc[0][h] = acc[0][h] + jax.lax.dot_general(
+            dk_acc[h] = dk_acc[h] + jax.lax.dot_general(
                 ds, qh.astype(jnp.float32), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            dq_pieces.append(jax.lax.dot_general(
+                ds.astype(kh.dtype), kh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        dq_blk = jnp.concatenate(dq_pieces, axis=-1)  # (bq, A) f32
+        cur = dq_acc_ref[pl.ds(qi * bq, bq), :]
+        dq_acc_ref[pl.ds(qi * bq, bq), :] = cur + dq_blk
     for h in range(heads):
         sl = slice(h * hd, (h + 1) * hd)
-        dk_ref[0, :, sl] = acc[0][h].astype(dk_ref.dtype)
-        dv_ref[0, :, sl] = acc[1][h].astype(dv_ref.dtype)
+        dk_ref[0, :, sl] = dk_acc[h].astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv_acc[h].astype(dv_ref.dtype)
+
+    @pl.when(ki == nk - 1)
+    def _emit_dq():
+        dq_ref[0] = dq_acc_ref[...].astype(dq_ref.dtype)
 
 
 def _mh_fwd_impl(q, k, v, scale, heads, interpret):
@@ -472,50 +474,18 @@ def _mh_bwd_impl(q, k, v, out, lse, do, scale, heads, interpret):
         axis=-1,
     )
     deltap = _pad_to(delta, n_pad, 1)  # (B, n_pad, H)
-    delta5 = jnp.broadcast_to(
-        deltap.reshape(B, nq, _BLOCK_Q, heads).transpose(0, 1, 3, 2)[
-            :, :, :, None, :
-        ],
-        (B, nq, heads, 8, _BLOCK_Q),
-    )
-    # +inf lse on padded q rows zeroes their contribution in the dkv kernel
-    row = jnp.arange(n_pad)[None, :]
-    row5 = jnp.broadcast_to(
-        row.reshape(1, nq, 1, 1, _BLOCK_Q), (B, nq, heads, 8, _BLOCK_Q)
-    )
-    lse5 = jnp.where(row5 < N, lse, jnp.inf)
+    delta4 = deltap.reshape(B, nq, _BLOCK_Q, heads).transpose(0, 1, 3, 2)
+    # +inf lse on padded q rows zeroes their contribution in the kernel
+    lse4 = lse[:, :, :, 0, :]  # (B, nq, H, BQ) — drop sublane replication
+    row4 = jnp.arange(n_pad).reshape(1, nq, 1, _BLOCK_Q)
+    lse4 = jnp.where(row4 < N, lse4, jnp.inf)
+    # compact (B, nq, 2H, BQ): rows [0,H) lse, rows [H,2H) delta
+    ld = jnp.concatenate([lse4, delta4], axis=2)
 
     grid = (B, nq)
-    dq = pl.pallas_call(
+    dq, dk, dv = pl.pallas_call(
         functools.partial(
-            _mh_dq_kernel, scale=scale, n_valid=N, heads=heads
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, _BLOCK_Q, A), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BLOCK_Q, A), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, heads, 8, _BLOCK_Q),
-                         lambda b, i: (b, i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, heads, 8, _BLOCK_Q),
-                         lambda b, i: (b, i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, _BLOCK_Q, A), lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, A), q.dtype),
-        interpret=interpret,
-    )(qp, kp, vp, dop, lse5, delta5)
-
-    dk, dv = pl.pallas_call(
-        functools.partial(
-            _mh_dkv_kernel, scale=scale, n_valid=N, heads=heads
+            _mh_dqkv_kernel, scale=scale, n_valid=N, heads=heads
         ),
         grid=grid,
         in_specs=[
@@ -527,14 +497,15 @@ def _mh_bwd_impl(q, k, v, out, lse, do, scale, heads, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nq, heads, 8, _BLOCK_Q),
-                         lambda b, i: (b, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nq, heads, 8, _BLOCK_Q),
-                         lambda b, i: (b, 0, 0, 0, 0),
+            pl.BlockSpec((1, nq, 2 * heads, _BLOCK_Q),
+                         lambda b, i: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
+            # dq: full-row float32 accumulator, revisited (and kept in
+            # VMEM) across the sequential kv-block steps
+            pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _BLOCK_Q, A), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _BLOCK_Q, A), lambda b, i: (b, i, 0),
@@ -543,9 +514,17 @@ def _mh_bwd_impl(q, k, v, out, lse, do, scale, heads, interpret):
         out_shape=[
             jax.ShapeDtypeStruct((B, n_pad, A), q.dtype),
             jax.ShapeDtypeStruct((B, n_pad, A), q.dtype),
+            jax.ShapeDtypeStruct((B, n_pad, A), q.dtype),
         ],
+        scratch_shapes=[pltpu.VMEM((n_pad, A), jnp.float32)],
+        # the unrolled (q-block x head) loop carries long-lived f32
+        # accumulators; the default 16M scoped-vmem budget is ~2M short
+        # at the ViT-B decoder shape
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
         interpret=interpret,
-    )(qp, kp, vp, dop, lse5, delta5)
+    )(qp, kp, vp, dop, ld)
     return dq[:, :N], dk[:, :N], dv[:, :N]
 
 
