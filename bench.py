@@ -97,18 +97,20 @@ def main():
     batch = {"clip": clip, "boxes": boxes}
     rng = jax.random.PRNGKey(2)
 
-    # warmup + compile
+    # warmup + compile; fetch a scalar to force completion (through the
+    # relay, block_until_ready can return early — only an output fetch
+    # reliably waits)
     state, metrics = step(state, batch, rng, 0.5)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
-    # enqueue a chain of steps, block once at the end: steps execute
-    # back-to-back on device, so per-dispatch host/RPC overhead doesn't
-    # pollute the measurement
+    # enqueue a chain of steps, fetch ONE scalar at the end: steps
+    # execute back-to-back on device, so per-dispatch host/RPC overhead
+    # doesn't pollute the measurement
     n_iters = 30
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, metrics = step(state, batch, rng, 0.5)
-    jax.block_until_ready(metrics["loss"])
+    final_loss = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / n_iters
 
     clips_per_sec = B / dt
@@ -128,7 +130,7 @@ def main():
                     "mfu": round(mfu, 4),
                     "peak_flops": peak,
                     "device": str(jax.devices()[0].device_kind),
-                    "loss": float(metrics["loss"]),
+                    "loss": final_loss,
                 },
             }
         )

@@ -210,21 +210,22 @@ class Attention(nn.Module):
                 q, k, v, scale=scale, num_heads=self.num_heads
             )  # (B, N, H*Dh) — already projection-ready
         else:
-            # head-major path: (3, B, H, N, Dh) straight out of the
-            # projection einsum (cheaper than transposing afterwards)
-            k4 = qkv_kernel.astype(self.dtype).reshape(
-                self.dim, 3, self.num_heads, head_dim
-            )
+            # head-major path: ONE flat MXU matmul then reshape+transpose
+            # to (3, B, H, N, Dh) — ~2x the strided "bnd,dthe->tbhne"
+            # einsum for fwd+bwd including dW (the transpose is cheap;
+            # the strided contraction is not)
             qkv = jnp.einsum(
-                "bnd,dthe->tbhne", x, k4, preferred_element_type=self.dtype
+                "bnd,de->bne", x, qkv_kernel.astype(self.dtype),
+                preferred_element_type=self.dtype,
             )
             if self.qkv_bias:
-                bias = jnp.stack(
+                bias_flat = jnp.concatenate(
                     [q_bias, jnp.zeros_like(q_bias), v_bias]
-                ).astype(self.dtype).reshape(
-                    3, 1, self.num_heads, 1, head_dim
-                )
-                qkv = qkv + bias
+                ).astype(self.dtype)
+                qkv = qkv + bias_flat
+            qkv = qkv.reshape(
+                B, N, 3, self.num_heads, head_dim
+            ).transpose(2, 0, 3, 1, 4)
 
             q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, N, Dh)
 
