@@ -562,17 +562,23 @@ class PatchEmbed(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        B, T, H, W, C = x.shape
-        assert H == self.img_size and W == self.img_size, (
-            f"Input image size ({H}x{W}) doesn't match model"
-            f" ({self.img_size}x{self.img_size})."
-        )
         p0, p = self.tubelet_size, self.patch_size
-        t, h, w = T // p0, H // p, W // p
-        patch_dim = p0 * p * p * C
-        x = x.reshape(B, t, p0, h, p, w, p, C)
-        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # (B,t,h,w,p0,p1,p2,C)
-        x = x.reshape(B, t * h * w, patch_dim)
+        patch_dim = p0 * p * p * self.in_chans
+        if x.ndim == 3:
+            # pre-patchified (B, N, patch_dim) rows (ops.patchify.
+            # patchify_flat) — lets the train step share ONE layout
+            # transpose between embedding and reconstruction targets
+            assert x.shape[-1] == patch_dim, (x.shape, patch_dim)
+        else:
+            B, T, H, W, C = x.shape
+            assert H == self.img_size and W == self.img_size, (
+                f"Input image size ({H}x{W}) doesn't match model"
+                f" ({self.img_size}x{self.img_size})."
+            )
+            t, h, w = T // p0, H // p, W // p
+            x = x.reshape(B, t, p0, h, p, w, p, C)
+            x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # (B,t,h,w,p0,p1,p2,C)
+            x = x.reshape(B, t * h * w, patch_dim)
         kernel = self.param(
             "kernel", self.kernel_init, (patch_dim, self.embed_dim),
             jnp.float32,

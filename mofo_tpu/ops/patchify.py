@@ -104,6 +104,77 @@ def normalized_pixel_targets(
     return x8.reshape(B, t * h * w, p0 * p * p * C)
 
 
+def patchify_flat(
+    clip: Array, patch_size: int = 16, tubelet_size: int = 2
+) -> Array:
+    """(B, T, H, W, C) -> (B, N, p0*p*p*C) token-major flat patch rows,
+    channel fastest — the '(p c)' layout of the reference targets AND the
+    input the PatchEmbed matmul consumes.
+
+    This is the ONE layout transpose of the pretrain step: both the
+    encoder embedding and the reconstruction targets read its output
+    (previously each side paid its own 8-D transpose, and the target
+    stats reduced over strided axes — ~17 ms/step at B=48 on v5e)."""
+    B, T, H, W, C = clip.shape
+    p0, p = tubelet_size, patch_size
+    t, h, w = T // p0, H // p, W // p
+    x = clip.reshape(B, t, p0, h, p, w, p, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # (B,t,h,w,p0,p1,p2,C)
+    return x.reshape(B, t * h * w, p0 * p * p * C)
+
+
+def masked_normalized_targets(
+    tokens_pix: Array,
+    mask_indices: Array,
+    *,
+    channels: int = 3,
+    normalize_target: bool = True,
+    input_normalized: bool = True,
+    compute_dtype=jnp.float32,
+    mean: Tuple[float, ...] = constants.IMAGENET_DEFAULT_MEAN,
+    std: Tuple[float, ...] = constants.IMAGENET_DEFAULT_STD,
+) -> Array:
+    """Reconstruction targets from flat patch rows, masked positions only.
+
+    tokens_pix: (B, N, D=P*C) from patchify_flat (ImageNet-normalized
+    pixels unless input_normalized=False); mask_indices: (B, M).
+
+    Same math as normalized_pixel_targets (engine_for_pretraining.py:
+    43-63: un-normalize, per-patch per-channel mean / unbiased std + 1e-6)
+    but TPU-shaped: gather the masked rows FIRST, un-normalize via a
+    (D,)-vector affine, and compute the per-channel sums with thin
+    matmuls against a channel-selector matrix — contiguous-lane work
+    instead of stride-C reductions."""
+    D = tokens_pix.shape[-1]
+    npos = D // channels
+    g = jnp.take_along_axis(
+        tokens_pix, mask_indices[..., None], axis=1
+    ).astype(jnp.float32)  # (B, M, D)
+    if input_normalized:
+        s_vec = jnp.tile(jnp.asarray(std, jnp.float32), npos)
+        m_vec = jnp.tile(jnp.asarray(mean, jnp.float32), npos)
+        g = g * s_vec + m_vec
+    if not normalize_target:
+        return g.astype(compute_dtype)
+    # channel selector: sel[d, c] = 1 iff d % channels == c
+    sel = jnp.asarray(
+        (jnp.arange(D)[:, None] % channels)
+        == jnp.arange(channels)[None, :],
+        jnp.float32,
+    )
+    sums = jnp.einsum("bmd,dc->bmc", g, sel,
+                      preferred_element_type=jnp.float32)
+    sqs = jnp.einsum("bmd,dc->bmc", g * g, sel,
+                     preferred_element_type=jnp.float32)
+    mu = sums / npos
+    var = (sqs - npos * mu * mu) / (npos - 1)  # unbiased
+    denom = jnp.sqrt(jnp.maximum(var, 0.0)) + 1e-6
+    B, M = g.shape[:2]
+    g4 = g.reshape(B, M, npos, channels)
+    out = (g4 - mu[:, :, None, :]) / denom[:, :, None, :]
+    return out.reshape(B, M, D).astype(compute_dtype)
+
+
 def gather_masked_targets(
     targets: Array, mask_indices: Array
 ) -> Array:

@@ -77,15 +77,19 @@ def _loss_for_batch(
     mask = generate_mask(mask_rng, batch, cfg)
     vis_idx, masked_idx = masking.mask_to_indices(mask, cfg.num_masked)
 
-    targets = patchify.normalized_pixel_targets(
-        clip,
+    # ONE layout transpose serves both the encoder embedding and the
+    # reconstruction targets (patchify_flat); targets gather the masked
+    # rows first and reduce per-channel stats over contiguous lanes.
+    tokens_pix = patchify.patchify_flat(
+        clip, patch_size=cfg.patch_size, tubelet_size=cfg.tubelet_size
+    )
+    targets = patchify.masked_normalized_targets(
+        tokens_pix,
+        masked_idx,
         normalize_target=cfg.normalize_target,
-        patch_size=cfg.patch_size,
-        tubelet_size=cfg.tubelet_size,
         compute_dtype=jnp.bfloat16 if cfg.dtype == "bfloat16"
         else jnp.float32,
     )
-    targets = patchify.gather_masked_targets(targets, masked_idx)
 
     weights = None
     if cfg.motion_loss_weight and loss_weight is not None:
@@ -103,7 +107,7 @@ def _loss_for_batch(
 
     pred = model.apply(
         {"params": params},
-        clip,
+        tokens_pix,
         vis_idx,
         masked_idx,
         deterministic=not train,

@@ -111,3 +111,51 @@ class TestPatchify:
         w = jnp.array([[1.0, 1.0, 0.0, 0.0]])
         loss = float(patchify.masked_mse_loss(pred, tgt, weights=w))
         assert abs(loss - 1.0) < 1e-6
+
+
+class TestMaskedNormalizedTargets:
+    """The fast path (patchify_flat + masked_normalized_targets) must
+    reproduce normalized_pixel_targets + gather exactly (same math,
+    TPU-shaped op order)."""
+
+    def test_matches_reference_path(self):
+        rng = np.random.RandomState(7)
+        clip = jnp.asarray(
+            rng.rand(2, 8, 64, 64, 3).astype(np.float32) * 2.0 - 0.5
+        )
+        old = patchify.normalized_pixel_targets(clip)
+        mask = masking.tube_mask(
+            jax.random.PRNGKey(3), 2, temporal_positions=4,
+            patches_per_frame=16, mask_ratio=0.75,
+        )
+        _, mask_idx = masking.mask_to_indices(mask, 4 * 12)
+        ref = np.asarray(patchify.gather_masked_targets(old, mask_idx))
+
+        tokens = patchify.patchify_flat(clip)
+        new = np.asarray(
+            patchify.masked_normalized_targets(tokens, mask_idx)
+        )
+        np.testing.assert_allclose(new, ref, atol=2e-5, rtol=2e-5)
+
+    def test_no_norm_matches(self):
+        rng = np.random.RandomState(8)
+        clip = jnp.asarray(rng.rand(1, 4, 32, 32, 3).astype(np.float32))
+        old = patchify.normalized_pixel_targets(
+            clip, normalize_target=False, input_normalized=False
+        )
+        idx = jnp.asarray([[0, 3, 5]], jnp.int32)
+        ref = np.asarray(patchify.gather_masked_targets(old, idx))
+        tokens = patchify.patchify_flat(clip)
+        new = np.asarray(
+            patchify.masked_normalized_targets(
+                tokens, idx, normalize_target=False, input_normalized=False
+            )
+        )
+        np.testing.assert_allclose(new, ref, atol=1e-7)
+
+    def test_patchify_flat_matches_patchify(self):
+        rng = np.random.RandomState(9)
+        clip = jnp.asarray(rng.rand(2, 4, 32, 32, 3).astype(np.float32))
+        a = np.asarray(patchify.patchify_flat(clip))
+        b = np.asarray(patchify.patchify(clip))
+        np.testing.assert_array_equal(a, b.reshape(a.shape))
