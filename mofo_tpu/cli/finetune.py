@@ -119,7 +119,9 @@ def get_args(argv=None, bb_defaults: bool = False):
     p.add_argument("--log_dir", default=None)
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--dtype", default="bfloat16",
-                   choices=["bfloat16", "float32"])
+                   choices=["bfloat16", "float16", "float32"],
+                   help="compute dtype; float16 enables dynamic loss "
+                        "scaling (DeepSpeed fp16 parity)")
     p.add_argument("--mesh_data", default=-1, type=int)
     p.add_argument("--mesh_fsdp", default=1, type=int)
     p.add_argument("--mesh_model", default=1, type=int)
@@ -315,7 +317,11 @@ def main(args=None):
     steps_per_epoch = max(len(train_loader), 1)
 
     # ----- model -----
-    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    dtype = {
+        "bfloat16": jnp.bfloat16,
+        "float16": jnp.float16,
+        "float32": jnp.float32,
+    }[cfg.dtype]
     model_kwargs = dict(
         img_size=cfg.input_size,
         all_frames=cfg.num_frames,
@@ -394,7 +400,16 @@ def main(args=None):
         trainable=trainable,
     )
     params = mesh_lib.shard_params(params, mesh)
-    state = TrainState.create(params, tx, use_ema=cfg.model_ema)
+    ls = None
+    if cfg.dtype == "float16":
+        # DeepSpeed fp16 defaults: initial_scale_power 7, window 128
+        # (reference utils.py:499-528)
+        from mofo_tpu.train.loss_scale import DynamicLossScale
+
+        ls = DynamicLossScale.create()
+    state = TrainState.create(
+        params, tx, use_ema=cfg.model_ema, loss_scale=ls
+    )
 
     start_epoch = args.start_epoch
     if args.auto_resume and args.output_dir:

@@ -100,6 +100,15 @@ def make_finetune_step(
             aug_rng, rng = jax.random.split(rng)
             batch = augment_fn(aug_rng, batch)
 
+        # fp16 path: scale the loss before grad, unscale after, skip the
+        # update on non-finite grads (DeepSpeed fp16 engine semantics,
+        # reference engine_for_finetuning.py:78-101, utils.py:499-528).
+        use_ls = state.loss_scale is not None
+        scale = state.loss_scale.scale if use_ls else jnp.float32(1.0)
+
+        def scaled_loss(params, mbatch, mrng):
+            return micro_loss(params, mbatch, mrng) * scale
+
         if cfg.update_freq > 1:
             k = cfg.update_freq
             micro = jax.tree.map(
@@ -111,7 +120,7 @@ def make_finetune_step(
             def scan_body(carry, xs):
                 loss_sum, grad_sum = carry
                 mbatch, mrng = xs
-                loss, grads = jax.value_and_grad(micro_loss)(
+                loss, grads = jax.value_and_grad(scaled_loss)(
                     state.params, mbatch, mrng
                 )
                 return (
@@ -125,16 +134,29 @@ def make_finetune_step(
             (loss_sum, grad_sum), _ = jax.lax.scan(
                 scan_body, (jnp.zeros([], jnp.float32), zero), (micro, rngs)
             )
-            loss = loss_sum / k
-            grads = jax.tree.map(lambda g: g / k, grad_sum)
+            loss = loss_sum / (k * scale)
+            grads = jax.tree.map(lambda g: g / (k * scale), grad_sum)
         else:
-            loss, grads = jax.value_and_grad(micro_loss)(
+            loss, grads = jax.value_and_grad(scaled_loss)(
                 state.params, batch, rng
             )
+            loss = loss / scale
+            if use_ls:
+                grads = jax.tree.map(lambda g: g / scale, grads)
 
         grad_norm = global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+
+        new_ls = state.loss_scale
+        if use_ls:
+            from mofo_tpu.train.loss_scale import apply_if_finite
+
+            finite = jnp.isfinite(grad_norm)
+            params = apply_if_finite(params, state.params, finite)
+            opt_state = apply_if_finite(opt_state, state.opt_state, finite)
+            new_ls = state.loss_scale.update(finite)
+
         ema = state.ema_params
         if ema is not None:
             ema = ema_update(ema, params, cfg.model_ema_decay)
@@ -143,8 +165,14 @@ def make_finetune_step(
             params=params,
             opt_state=opt_state,
             ema_params=ema,
+            loss_scale=new_ls,
         )
         metrics = {"loss": loss, "grad_norm": grad_norm}
+        if use_ls:
+            metrics["loss_scale"] = new_ls.scale
+            metrics["skipped"] = 1.0 - jnp.isfinite(grad_norm).astype(
+                jnp.float32
+            )
         if lr_arr is not None:
             idx = jnp.minimum(state.step, lr_arr.shape[0] - 1)
             metrics["lr"] = lr_arr[idx]

@@ -23,6 +23,9 @@ class TrainState(struct.PyTreeNode):
     params: Params
     opt_state: Any
     ema_params: Optional[Params] = None
+    # DynamicLossScale state for fp16 training (None = disabled). Mirrors
+    # the reference's DeepSpeed fp16 engine (utils.py:499-528).
+    loss_scale: Optional[Any] = None
 
     @classmethod
     def create(
@@ -30,12 +33,14 @@ class TrainState(struct.PyTreeNode):
         params: Params,
         tx: optax.GradientTransformation,
         use_ema: bool = False,
+        loss_scale: Optional[Any] = None,
     ) -> "TrainState":
         return cls(
             step=jnp.zeros([], jnp.int32),
             params=params,
             opt_state=tx.init(params),
             ema_params=jax.tree.map(jnp.copy, params) if use_ema else None,
+            loss_scale=loss_scale,
         )
 
 

@@ -94,6 +94,45 @@ class TestFinetuneStep:
         state, metrics = step(state, batch, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["loss"]))
 
+    def test_fp16_loss_scale_end_to_end(self):
+        """fp16 path: scaled loss, skip-update on injected inf with scale
+        backoff, scale growth after `growth_interval` good steps
+        (DeepSpeed fp16 engine semantics, ref utils.py:499-528)."""
+        from mofo_tpu.train.loss_scale import DynamicLossScale
+
+        cfg = tiny_cfg()
+        model = tiny_classifier(cfg, dtype=jnp.float16)
+        batch = class_colored_batch(cfg)
+        params = model.init(jax.random.PRNGKey(0), batch["clip"])["params"]
+        lr = schedules.cosine_schedule(1e-3, 1e-4, 8, 10)
+        tx = optim.create_optimizer(params, lr_schedule=lr)
+        ls = DynamicLossScale.create(
+            initial_scale_power=3, growth_interval=2
+        )
+        state = TrainState.create(params, tx, loss_scale=ls)
+        step = jax.jit(make_finetune_step(model, tx, cfg, lr))
+        rng = jax.random.PRNGKey(1)
+
+        assert float(state.loss_scale.scale) == 8.0
+        # two good steps -> growth fires (interval 2): scale 8 -> 16
+        state, m = step(state, batch, rng)
+        assert float(m["skipped"]) == 0.0
+        assert np.isfinite(float(m["loss"]))
+        state, m = step(state, batch, rng)
+        assert float(state.loss_scale.scale) == 16.0
+
+        # inject inf -> grads non-finite -> update skipped, scale halves
+        params_before = jax.tree.map(np.asarray, state.params)
+        bad = dict(batch)
+        bad["clip"] = batch["clip"].at[0, 0, 0, 0, 0].set(jnp.inf)
+        state, m = step(state, bad, rng)
+        assert float(m["skipped"]) == 1.0
+        assert float(state.loss_scale.scale) == 8.0
+        for pb, pa in zip(
+            jax.tree.leaves(params_before), jax.tree.leaves(state.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(pa), pb)
+
     def test_bb_focused_step(self):
         cfg = tiny_cfg()
         model = create_model(
