@@ -218,27 +218,46 @@ def create_optimizer(
         chain.append(optax.clip_by_global_norm(clip_grad))
 
     if opt == "adamw" or opt == "adam":
-        chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+        moments = [optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps)]
     elif opt in ("sgd", "nesterov"):
-        chain.append(optax.trace(decay=momentum, nesterov=True))
+        moments = [optax.trace(decay=momentum, nesterov=True)]
     elif opt == "momentum":
-        chain.append(optax.trace(decay=momentum, nesterov=False))
+        moments = [optax.trace(decay=momentum, nesterov=False)]
     elif opt == "lamb":
-        chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
-        chain.append(optax.scale_by_trust_ratio())
+        moments = [
+            optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
+            optax.scale_by_trust_ratio(),
+        ]
     elif opt == "adafactor":
-        chain.append(optax.scale_by_factored_rms())
+        moments = [optax.scale_by_factored_rms()]
     elif opt == "rmsprop":
-        chain.append(optax.scale_by_rms(decay=0.9, eps=eps))
+        moments = [optax.scale_by_rms(decay=0.9, eps=eps)]
     elif opt == "adadelta":
-        chain.append(optax.scale_by_adadelta())
+        moments = [optax.scale_by_adadelta()]
     elif opt == "lars":
-        chain.append(optax.scale_by_trust_ratio())
-        chain.append(optax.trace(decay=momentum, nesterov=False))
+        moments = [
+            optax.scale_by_trust_ratio(),
+            optax.trace(decay=momentum, nesterov=False),
+        ]
     elif opt == "lion":
-        chain.append(optax.scale_by_lion(b1=betas[0], b2=betas[1]))
+        moments = [optax.scale_by_lion(b1=betas[0], b2=betas[1])]
     else:
         raise ValueError(f"Unknown optimizer: {opt}")
+
+    train_mask = None
+    if trainable is not None:
+        train_mask = jax.tree_util.tree_map_with_path(
+            lambda path, leaf: bool(trainable(path, leaf)), params
+        )
+        if not any(jax.tree.leaves(train_mask)):
+            raise ValueError(
+                "trainable mask selected no parameters — the head-module "
+                "allowlist matched nothing (renamed module?)"
+            )
+        # keep optimizer state (Adam moments etc.) ONLY for trainable
+        # leaves; frozen leaves pass through here and are zeroed below
+        moments = [optax.masked(optax.chain(*moments), train_mask)]
+    chain.extend(moments)
 
     # Decoupled weight decay (AdamW-style) for everything except plain adam
     # (torch Adam couples decay into the gradient; the recipes all use
@@ -252,14 +271,12 @@ def create_optimizer(
         scales = layer_decay_scales(params, depth, layer_decay)
         chain.append(scale_by_leaf(scales))
 
-    if trainable is not None:
-        # freeze params where trainable(path, leaf) is False (the
-        # reference's --only_finetune_last intent,
-        # run_class_finetuning_BB.py:141 — declared but unimplemented
-        # there; implemented here as zeroed updates)
-        freeze_scales = jax.tree_util.tree_map_with_path(
-            lambda path, leaf: 1.0 if trainable(path, leaf) else 0.0,
-            params,
+    if train_mask is not None:
+        # exact-zero updates for frozen params (the reference's
+        # --only_finetune_last intent, run_class_finetuning_BB.py:141 —
+        # declared but unimplemented there)
+        freeze_scales = jax.tree.map(
+            lambda m: 1.0 if m else 0.0, train_mask
         )
         chain.append(scale_by_leaf(freeze_scales))
 

@@ -210,3 +210,35 @@ class TestFreeze:
         np.testing.assert_allclose(
             np.asarray(new["backbone"]["w"]), 1.0)  # frozen
         assert not np.allclose(np.asarray(new["head"]["w"]), 1.0)
+
+    def test_frozen_params_have_no_adam_moments(self):
+        params = {"backbone": {"w": jnp.ones((3,))},
+                  "head": {"w": jnp.ones((3,))}}
+        from mofo_tpu.train.optim import path_names
+
+        tx = optim.create_optimizer(
+            params,
+            lr_schedule=np.array([0.1] * 10),
+            weight_decay=0.0,
+            trainable=lambda path, leaf: "head" in path_names(path),
+        )
+        st = tx.init(params)
+        # optax.masked stores MaskedNode (no arrays) for frozen leaves:
+        # total optimizer-state array elements < a full two-moment Adam
+        n_elems = sum(
+            x.size for x in jax.tree.leaves(st)
+            if hasattr(x, "size")
+        )
+        n_params = sum(x.size for x in jax.tree.leaves(params))
+        assert n_elems < 2 * n_params, (n_elems, n_params)
+
+    def test_empty_trainable_mask_raises(self):
+        import pytest
+
+        params = {"backbone": {"w": jnp.ones((3,))}}
+        with pytest.raises(ValueError, match="no parameters"):
+            optim.create_optimizer(
+                params,
+                lr_schedule=np.array([0.1] * 10),
+                trainable=lambda path, leaf: False,
+            )
