@@ -194,6 +194,57 @@ class TestMultiDevice:
         # the same batch
         assert losses[-1] < losses[0]
 
+    def test_sharded_matches_replicated(self):
+        """The one property that validates the TP/FSDP specs: the same
+        step on a (2,2,2) mesh must produce the same loss and updated
+        params as the unsharded single-device run (up to collective
+        reassociation)."""
+        assert jax.device_count() == 8
+        cfg = tiny_cfg(batch_size=8)
+        model = tiny_model()
+        lr = schedules.cosine_schedule(1e-3, 1e-4, 10, 10, 1)
+        tx = optim.create_optimizer(
+            init_state(model, cfg, __import__("optax").adam(0.0)).params,
+            lr_schedule=lr,
+        )
+        clip = jax.random.normal(jax.random.PRNGKey(1), (8, 4, 32, 32, 3))
+        rng = jax.random.PRNGKey(2)
+        step = jax.jit(make_pretrain_step(model, tx, cfg, lr))
+
+        def run(state, batch, n=2):
+            losses = []
+            for _ in range(n):
+                state, metrics = step(state, batch, rng, 0.0)
+                losses.append(float(metrics["loss"]))
+            return state, losses
+
+        # replicated single-device reference
+        dev0 = jax.devices()[0]
+        state_r = jax.device_put(init_state(model, cfg, tx, B=8), dev0)
+        state_r, losses_r = run(state_r, {"clip": jax.device_put(clip, dev0)})
+
+        # sharded: dp=2 x fsdp=2 x tp=2
+        mesh = mesh_lib.build_mesh(
+            mesh_lib.MeshConfig(data=2, fsdp=2, model=2)
+        )
+        state_s = init_state(model, cfg, tx, B=8)
+        state_s = state_s.replace(
+            params=mesh_lib.shard_params(state_s.params, mesh)
+        )
+        batch_s = {
+            "clip": jax.device_put(clip, mesh_lib.batch_sharding(mesh))
+        }
+        state_s, losses_s = run(state_s, batch_s)
+
+        np.testing.assert_allclose(losses_s, losses_r, rtol=2e-5)
+        flat_r = jax.tree_util.tree_leaves_with_path(state_r.params)
+        flat_s = jax.tree.leaves(state_s.params)
+        for (path, pr), ps in zip(flat_r, flat_s):
+            np.testing.assert_allclose(
+                np.asarray(ps), np.asarray(pr), rtol=5e-4, atol=1e-6,
+                err_msg=jax.tree_util.keystr(path),
+            )
+
     def test_mesh_resolve(self):
         c = mesh_lib.MeshConfig(data=-1, fsdp=2, model=2)
         assert c.resolve(8) == (2, 2, 2)
