@@ -99,7 +99,13 @@ def finetune_augment(
     H0, W0 = clips_u8.shape[2], clips_u8.shape[3]
     x = clips_u8.astype(jnp.float32)
     if aa:
-        x = rand_augment_batch(r_aa, x, aa)
+        if boxes is not None:
+            # BB fork: boxes thread through RandAugment (transformed
+            # under rotate, rand_augment_BB_focused.py:108-171) BEFORE
+            # the crop mapping
+            x, boxes = rand_augment_batch(r_aa, x, aa, boxes=boxes)
+        else:
+            x = rand_augment_batch(r_aa, x, aa)
     x = I.normalize(x / 255.0)
     crop = I.random_resized_crop_boxes(r_crop, B, (H0, W0))
     x = I.crop_and_resize(x, crop, (out_size, out_size))

@@ -28,7 +28,7 @@ Input convention: clips (B, T, H, W, C) float32 in [0, 255].
 from __future__ import annotations
 
 import re
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -316,17 +316,48 @@ def parse_rand_augment_config(config_str: str) -> Dict:
     return cfg
 
 
+_ROTATE_IDX = TRANSFORMS.index("Rotate")
+
+
+def rotate_box(boxes: Array, level: Array, neg: Array,
+               size: Tuple[int, int]) -> Array:
+    """The BB fork's box transform under rotate: apply the image's
+    output->input affine matrix verbatim to the two corner points
+    (rand_augment_BB_focused.py:108-171). Only rotate transforms the box;
+    shear/translate pass it through unchanged (reference approximation).
+    boxes: (..., 4) (x1, y1, x2, y2) pixel coords; size: (H, W)."""
+    H, W = size
+    deg = (level / MAX_LEVEL) * 30.0 * neg
+    angle = -deg * jnp.pi / 180.0  # ref: angle = -radians(degrees)
+    cx, cy = W / 2.0, H / 2.0  # ref rotn_center = (w/2, h/2)
+    a, b = jnp.cos(angle), jnp.sin(angle)
+    d, e = -jnp.sin(angle), jnp.cos(angle)
+    c = cx - (a * cx + b * cy)
+    f = cy - (d * cx + e * cy)
+    x1 = a * boxes[..., 0] + b * boxes[..., 1] + c
+    y1 = d * boxes[..., 0] + e * boxes[..., 1] + f
+    x2 = a * boxes[..., 2] + b * boxes[..., 3] + c
+    y2 = d * boxes[..., 2] + e * boxes[..., 3] + f
+    return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
 def rand_augment_clip(
     rng: Array,
     clip: Array,
+    boxes: Optional[Array] = None,
     *,
     magnitude: float = 7.0,
     num_layers: int = 4,
     magnitude_std: float = 0.5,
     prob: float = 0.5,
-) -> Array:
-    """Apply RandAugment to ONE clip (T, H, W, C) float [0, 255]."""
+):
+    """Apply RandAugment to ONE clip (T, H, W, C) float [0, 255].
+
+    With `boxes` (T, 4) given, threads them through the ops the way the
+    BB fork does (transform under Rotate only). Returns clip, or
+    (clip, boxes) when boxes were given."""
     out = clip
+    H, W = clip.shape[1], clip.shape[2]
     for layer in range(num_layers):
         rng, r_op, r_apply, r_mag, r_neg = jax.random.split(rng, 5)
         op_idx = jax.random.randint(r_op, (), 0, len(_OPS))
@@ -338,23 +369,37 @@ def rand_augment_clip(
             op_idx, list(_OPS), out, mag, neg
         )
         out = jnp.where(apply, augmented, out)
+        if boxes is not None:
+            rotated = rotate_box(boxes, mag, neg, (H, W))
+            boxes = jnp.where(
+                apply & (op_idx == _ROTATE_IDX), rotated, boxes
+            )
+    if boxes is not None:
+        return out, boxes
     return out
 
 
 def rand_augment_batch(
-    rng: Array, clips: Array, config_str: str = "rand-m7-n4-mstd0.5-inc1"
-) -> Array:
-    """Batched RandAugment: clips (B, T, H, W, C) float [0, 255]."""
+    rng: Array,
+    clips: Array,
+    config_str: str = "rand-m7-n4-mstd0.5-inc1",
+    boxes: Optional[Array] = None,
+):
+    """Batched RandAugment: clips (B, T, H, W, C) float [0, 255];
+    optional boxes (B, T, 4) threaded per the BB fork."""
     cfg = parse_rand_augment_config(config_str)
     B = clips.shape[0]
     rngs = jax.random.split(rng, B)
+    kwargs = dict(
+        magnitude=cfg["magnitude"],
+        num_layers=cfg["num_layers"],
+        magnitude_std=cfg["magnitude_std"],
+        prob=cfg["prob"],
+    )
+    if boxes is not None:
+        return jax.vmap(
+            lambda r, c, bx: rand_augment_clip(r, c, bx, **kwargs)
+        )(rngs, clips, boxes)
     return jax.vmap(
-        lambda r, c: rand_augment_clip(
-            r,
-            c,
-            magnitude=cfg["magnitude"],
-            num_layers=cfg["num_layers"],
-            magnitude_std=cfg["magnitude_std"],
-            prob=cfg["prob"],
-        )
+        lambda r, c: rand_augment_clip(r, c, **kwargs)
     )(rngs, clips)

