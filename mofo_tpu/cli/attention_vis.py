@@ -1,14 +1,18 @@
-"""Saliency visualization: attention rollout and gradient x input maps.
+"""Saliency visualization: Grad-CAM(++), attention rollout, grad x input.
 
-Covers the capability of GradCAM_videoMAE_MOFO.py (pytorch-grad-cam on the
-14x14 token grid with bbox overlay) the JAX-native way:
+Covers the capability of GradCAM_videoMAE_MOFO.py (pytorch-grad-cam on
+the token grid with bbox overlay) the JAX-native way:
+  - Grad-CAM / Grad-CAM++: class-discriminative maps at the same target
+    layer as the reference (blocks[layer].norm1, GradCAM_videoMAE_MOFO.py:
+    293-301) via a flax method-interceptor + additive-perturbation VJP
   - attention rollout (Abnar & Zuidema '20) over the ViT blocks
   - gradient saliency: d logit[class] / d input, token-pooled
 Rendered as per-frame heatmap overlays (+ optional motion-box rectangle).
 
 Usage:
   python -m mofo_tpu.cli.attention_vis --video v.mp4 --save_path out/ \
-      [--model_path ckpt] [--bb_json boxes.json]
+      [--model_path ckpt] [--method gradcam++ --layer 5] \
+      [--bb_json boxes.json]
 """
 
 from __future__ import annotations
@@ -31,7 +35,9 @@ def get_args(argv=None):
     p.add_argument("--input_size", default=224, type=int)
     p.add_argument("--num_frames", default=16, type=int)
     p.add_argument("--method", default="grad",
-                   choices=["grad", "rollout"])
+                   choices=["grad", "rollout", "gradcam", "gradcam++"])
+    p.add_argument("--layer", default=5, type=int,
+                   help="target block for gradcam methods")
     p.add_argument("--target_class", default=-1, type=int,
                    help="-1 = argmax")
     p.add_argument("--bb_json", default=None)
@@ -104,6 +110,66 @@ def token_saliency_grad(model, params, clips, target_class: int):
     return sal  # (B, t, h, h)
 
 
+def token_saliency_gradcam(
+    model, params, clips, target_class: int, layer: int,
+    plus: bool = False,
+):
+    """Grad-CAM / Grad-CAM++ on the token grid -> (B, t, h, h).
+
+    Target layer matches the reference (blocks[layer].norm1). The layer
+    activations A and class-score gradients dS/dA are obtained in one
+    VJP by adding a zero perturbation to the norm1 output through a flax
+    method interceptor: grad w.r.t. the perturbation IS dS/dA, and the
+    activation rides out as an aux output.
+    """
+    from flax import linen as nn
+
+    B, T, S = clips.shape[0], clips.shape[1], clips.shape[2]
+    t, h = T // 2, S // 16
+    N = t * h * h
+    D = params[f"blocks_{layer}"]["norm1"]["scale"].shape[0]
+    target = (f"blocks_{layer}", "norm1")
+
+    def run(pert, x):
+        captured = []
+
+        def interceptor(next_fun, args, kwargs, context):
+            out = next_fun(*args, **kwargs)
+            path = tuple(context.module.path)
+            if path[-2:] == target and not captured:
+                captured.append(out.astype(jnp.float32))
+                out = out + pert.astype(out.dtype)
+            return out
+
+        with nn.intercept_methods(interceptor):
+            logits = model.apply({"params": params}, x)
+        cls = (
+            jnp.argmax(logits, axis=-1)
+            if target_class < 0
+            else jnp.full((x.shape[0],), target_class)
+        )
+        score = jnp.sum(
+            jnp.take_along_axis(logits, cls[:, None], axis=-1)
+        )
+        return score, captured[0]
+
+    zeros = jnp.zeros((B, N, D), jnp.float32)
+    (_, acts), grads = jax.value_and_grad(run, has_aux=True)(zeros, clips)
+    # acts, grads: (B, N, D)
+    if plus:
+        # Grad-CAM++ (Chattopadhay et al. '18), spatial axis = tokens:
+        # alpha = g^2 / (2 g^2 + sum_n A g^3); w_d = sum_n alpha relu(g)
+        g2 = grads * grads
+        g3 = g2 * grads
+        denom = 2.0 * g2 + jnp.sum(acts * g3, axis=1, keepdims=True)
+        alpha = jnp.where(g2 > 0, g2 / (denom + 1e-8), 0.0)
+        w = jnp.sum(alpha * jax.nn.relu(grads), axis=1)  # (B, D)
+    else:
+        w = jnp.mean(grads, axis=1)  # (B, D)
+    cam = jax.nn.relu(jnp.einsum("bnd,bd->bn", acts, w))
+    return cam.reshape(B, t, h, h)
+
+
 def main(args=None):
     if args is None:
         args = get_args()
@@ -167,6 +233,13 @@ def main(args=None):
             token_saliency_rollout(
                 model_kwargs, params, normed,
                 lambda **kw: create_model(args.model, **kw),
+            )
+        )[0]
+    elif args.method in ("gradcam", "gradcam++"):
+        sal = np.asarray(
+            token_saliency_gradcam(
+                model, params, normed, args.target_class, args.layer,
+                plus=args.method.endswith("++"),
             )
         )[0]
     else:
