@@ -45,6 +45,35 @@ class TestTSN:
         assert len(ids) == 16
         assert (ids >= 0).all() and (ids < 8).all()
 
+    def test_boundary_durations_pin_reference_walk(self):
+        # durations around skip_length (31/32/33) exercise the decode
+        # walk's `offset + new_step < duration` advance guard and the
+        # `offset + skip_offsets[i] <= duration` clamp exactly where an
+        # off-by-one would flip them (kinetics.py:543-555)
+        for num_frames in (31, 32, 33, 34):
+            np.random.seed(10)
+            skip_length, new_step = 32, 2
+            average_duration = num_frames - skip_length + 1
+            if average_duration > 0:
+                offsets = np.array([0]) + np.random.randint(
+                    average_duration, size=1)
+            else:
+                offsets = np.zeros((1,))
+            offsets = offsets + 1
+            ref_ids = []
+            offset = int(offsets[0])
+            for _ in range(0, skip_length, new_step):
+                if offset <= num_frames:  # skip_offsets are zeros
+                    ref_ids.append(offset - 1)
+                else:
+                    ref_ids.append(offset - 1)
+                if offset + new_step < num_frames:
+                    offset += new_step
+            ours = sampling.tsn_frame_ids(num_frames, pin_seed=True)
+            np.testing.assert_array_equal(ours, ref_ids, err_msg=str(
+                num_frames))
+            assert (ours >= 0).all() and (ours < num_frames).all()
+
     def test_stride_2(self):
         ids = sampling.tsn_frame_ids(300, rng=np.random.RandomState(0))
         diffs = np.diff(ids)
