@@ -42,6 +42,30 @@ def _on_tpu() -> bool:
         return False
 
 
+def _block_for(n: int) -> int:
+    """Pick a q/kv block size that divides n exactly when possible.
+
+    A divisor block means n_pad == n: no padded kv columns burning MXU
+    cycles in every score matmul (the fixed 256 block pads the 1568-token
+    decoder to 1792 — 14% wasted flops — and the 160-token encoder to
+    256), and the in-kernel column masks become no-ops.
+    """
+    if n % 8 == 0:
+        lane_pad = -(-n // 128) * 128  # physical kv width after Mosaic
+        pad256 = -(-n // 256) * 256  # kv width with 256 blocks
+        if pad256 == lane_pad:
+            # padding to 256 blocks is free (it IS the lane-aligned
+            # width, e.g. the 160-token encoder -> 256) and 256-row q
+            # blocks pipeline better on the MXU than odd divisors
+            return _BLOCK_Q
+        if n <= 512:
+            return n  # single q block
+        for blk in range(512, 63, -8):  # e.g. 1568 -> 392
+            if n % blk == 0:
+                return blk
+    return _BLOCK_Q  # fallback: pad to 256 blocks and mask
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, n_valid):
     # q: (1, bq, D) block; k, v: (1, Nk, D); o: (1, bq, D);
     # lse: (1, 1, 8, bq) block of a (BH, nq, 8, bq) array — the row is
@@ -54,8 +78,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, n_valid):
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # (bq, Nk)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < n_valid, s, _NEG_INF)
+    if n_valid is not None:  # static: only when kv rows are padded
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_valid, s, _NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -80,8 +105,9 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < n_valid, s, _NEG_INF)
+    if n_valid is not None:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_valid, s, _NEG_INF)
     p = jnp.exp(s - lse[:, None])
     dp = jax.lax.dot_general(
         do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
@@ -147,16 +173,18 @@ def _pad_to(x: Array, n: int, axis: int) -> Array:
 def _fwd_impl(q, k, v, scale, interpret):
     """q, k, v: (BH, N, D). Returns (out, lse)."""
     BH, N, D = q.shape
-    n_pad = -(-N // _BLOCK_Q) * _BLOCK_Q
+    bq = _block_for(N)
+    n_pad = -(-N // bq) * bq
+    n_valid = N if n_pad != N else None
     qp = _pad_to(q, n_pad, 1)
     kp = _pad_to(k, n_pad, 1)
     vp = _pad_to(v, n_pad, 1)
-    grid = (BH, n_pad // _BLOCK_Q)
+    grid = (BH, n_pad // bq)
     out, lse4 = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, n_valid=N),
+        functools.partial(_fwd_kernel, scale=scale, n_valid=n_valid),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, _BLOCK_Q, D), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, D), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -164,15 +192,15 @@ def _fwd_impl(q, k, v, scale, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, _BLOCK_Q, D), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, _BLOCK_Q), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, 1, 8, bq), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, n_pad, D), q.dtype),
             jax.ShapeDtypeStruct(
-                (BH, n_pad // _BLOCK_Q, 8, _BLOCK_Q), jnp.float32
+                (BH, n_pad // bq, 8, bq), jnp.float32
             ),
         ],
         interpret=interpret,
@@ -183,7 +211,9 @@ def _fwd_impl(q, k, v, scale, interpret):
 
 def _bwd_impl(q, k, v, out, lse, do, scale, interpret):
     BH, N, D = q.shape
-    n_pad = -(-N // _BLOCK_Q) * _BLOCK_Q
+    bq = _block_for(N)
+    n_pad = -(-N // bq) * bq
+    n_valid = N if n_pad != N else None
     qp = _pad_to(q, n_pad, 1)
     kp = _pad_to(k, n_pad, 1)
     vp = _pad_to(v, n_pad, 1)
@@ -194,61 +224,62 @@ def _bwd_impl(q, k, v, out, lse, do, scale, interpret):
     deltap = _pad_to(delta, n_pad, 1)
     # +inf lse on padded rows zeroes their contribution in the dkv kernel
     lsep = _pad_to(lse, n_pad, 1)
-    row = jnp.arange(n_pad)[None, :]
-    lsep = jnp.where(row < N, lsep, jnp.inf)
-    nq = n_pad // _BLOCK_Q
+    if n_valid is not None:
+        row = jnp.arange(n_pad)[None, :]
+        lsep = jnp.where(row < N, lsep, jnp.inf)
+    nq = n_pad // bq
     lse4 = jnp.broadcast_to(
-        lsep.reshape(BH, nq, 1, _BLOCK_Q), (BH, nq, 8, _BLOCK_Q)
+        lsep.reshape(BH, nq, 1, bq), (BH, nq, 8, bq)
     )
     delta4 = jnp.broadcast_to(
-        deltap.reshape(BH, nq, 1, _BLOCK_Q), (BH, nq, 8, _BLOCK_Q)
+        deltap.reshape(BH, nq, 1, bq), (BH, nq, 8, bq)
     )
 
-    grid = (BH, n_pad // _BLOCK_Q)
+    grid = (BH, nq)
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, n_valid=N),
+        functools.partial(_dq_kernel, scale=scale, n_valid=n_valid),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, _BLOCK_Q, D), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, D), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, D), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BLOCK_Q, D), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, _BLOCK_Q), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, 1, 8, bq), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, _BLOCK_Q), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, 1, 8, bq), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _BLOCK_Q, D), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BH, n_pad, D), q.dtype),
         interpret=interpret,
     )(qp, kp, vp, dop, lse4, delta4)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, n_valid=N),
+        functools.partial(_dkv_kernel, scale=scale, n_valid=n_valid),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, n_pad, D), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BLOCK_Q, D), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BLOCK_Q, D), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, D), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nq, 8, _BLOCK_Q), lambda b, i: (b, 0, 0, 0),
+            pl.BlockSpec((1, nq, 8, bq), lambda b, i: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nq, 8, _BLOCK_Q), lambda b, i: (b, 0, 0, 0),
+            pl.BlockSpec((1, nq, 8, bq), lambda b, i: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, _BLOCK_Q, D), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BLOCK_Q, D), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -323,8 +354,9 @@ def _mh_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < n_valid, s, _NEG_INF)
+        if n_valid is not None:  # static: only when kv rows are padded
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n_valid, s, _NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
@@ -385,8 +417,11 @@ def _mh_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, ld_ref,
                 qh, kh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale  # (bq, bk)
-            col = k0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < n_valid, s, _NEG_INF)
+            if n_valid is not None:
+                col = k0 + jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, 1
+                )
+                s = jnp.where(col < n_valid, s, _NEG_INF)
             p = jnp.exp(s - lse[:, None])
             dv_acc[h] = dv_acc[h] + jax.lax.dot_general(
                 p.astype(doh.dtype), doh, (((0,), (0,)), ((), ())),
@@ -421,19 +456,21 @@ def _mh_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, ld_ref,
 def _mh_fwd_impl(q, k, v, scale, heads, interpret):
     """q, k, v: (B, N, H*D). Returns (out, lse (B, nq, H, 8, BQ))."""
     B, N, A = q.shape
-    n_pad = -(-N // _BLOCK_Q) * _BLOCK_Q
+    bq = _block_for(N)
+    n_pad = -(-N // bq) * bq
+    n_valid = N if n_pad != N else None
     qp = _pad_to(q, n_pad, 1)
     kp = _pad_to(k, n_pad, 1)
     vp = _pad_to(v, n_pad, 1)
-    nq = n_pad // _BLOCK_Q
+    nq = n_pad // bq
     grid = (B, nq)
     out, lse = pl.pallas_call(
         functools.partial(
-            _mh_fwd_kernel, scale=scale, n_valid=N, heads=heads
+            _mh_fwd_kernel, scale=scale, n_valid=n_valid, heads=heads
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, _BLOCK_Q, A), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, bq, A), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -441,16 +478,22 @@ def _mh_fwd_impl(q, k, v, scale, heads, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, _BLOCK_Q, A), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, bq, A), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, heads, 8, _BLOCK_Q),
+            pl.BlockSpec((1, 1, heads, 8, bq),
                          lambda b, i: (b, i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, n_pad, A), q.dtype),
-            jax.ShapeDtypeStruct((B, nq, heads, 8, _BLOCK_Q), jnp.float32),
+            jax.ShapeDtypeStruct((B, nq, heads, 8, bq), jnp.float32),
         ],
+        # divisor q-blocks (e.g. 392 at the 1568-token decoder) carry
+        # larger f32 score transients than the old padded-256 blocks;
+        # the default 16M scoped-vmem budget is ~150K short
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024
+        ),
         interpret=interpret,
     )(qp, kp, vp)
     return out[:, :N], lse
@@ -459,8 +502,10 @@ def _mh_fwd_impl(q, k, v, scale, heads, interpret):
 def _mh_bwd_impl(q, k, v, out, lse, do, scale, heads, interpret):
     B, N, A = q.shape
     hd = A // heads
-    n_pad = -(-N // _BLOCK_Q) * _BLOCK_Q
-    nq = n_pad // _BLOCK_Q
+    bq = _block_for(N)
+    n_pad = -(-N // bq) * bq
+    n_valid = N if n_pad != N else None
+    nq = n_pad // bq
     qp = _pad_to(q, n_pad, 1)
     kp = _pad_to(k, n_pad, 1)
     vp = _pad_to(v, n_pad, 1)
@@ -474,30 +519,31 @@ def _mh_bwd_impl(q, k, v, out, lse, do, scale, heads, interpret):
         axis=-1,
     )
     deltap = _pad_to(delta, n_pad, 1)  # (B, n_pad, H)
-    delta4 = deltap.reshape(B, nq, _BLOCK_Q, heads).transpose(0, 1, 3, 2)
+    delta4 = deltap.reshape(B, nq, bq, heads).transpose(0, 1, 3, 2)
     # +inf lse on padded q rows zeroes their contribution in the kernel
     lse4 = lse[:, :, :, 0, :]  # (B, nq, H, BQ) — drop sublane replication
-    row4 = jnp.arange(n_pad).reshape(1, nq, 1, _BLOCK_Q)
-    lse4 = jnp.where(row4 < N, lse4, jnp.inf)
+    if n_valid is not None:
+        row4 = jnp.arange(n_pad).reshape(1, nq, 1, bq)
+        lse4 = jnp.where(row4 < N, lse4, jnp.inf)
     # compact (B, nq, 2H, BQ): rows [0,H) lse, rows [H,2H) delta
     ld = jnp.concatenate([lse4, delta4], axis=2)
 
     grid = (B, nq)
     dq, dk, dv = pl.pallas_call(
         functools.partial(
-            _mh_dqkv_kernel, scale=scale, n_valid=N, heads=heads
+            _mh_dqkv_kernel, scale=scale, n_valid=n_valid, heads=heads
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BLOCK_Q, A), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, bq, A), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BLOCK_Q, A), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, bq, A), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nq, 2 * heads, _BLOCK_Q),
+            pl.BlockSpec((1, nq, 2 * heads, bq),
                          lambda b, i: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -506,9 +552,9 @@ def _mh_bwd_impl(q, k, v, out, lse, do, scale, heads, interpret):
             # VMEM) across the sequential kv-block steps
             pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BLOCK_Q, A), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, bq, A), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BLOCK_Q, A), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, bq, A), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
