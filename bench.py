@@ -13,6 +13,7 @@ train step = ~3x fwd for fwd+bwd).
 """
 
 import json
+import os
 import time
 
 import jax
@@ -65,7 +66,7 @@ def main():
     from mofo_tpu.train.train_state import TrainState
 
     enable_compilation_cache()
-    B = 48
+    B = int(os.environ.get("MOFO_BENCH_BATCH", "48"))
     # The full MOFO step: motion-BB tube masking from per-frame boxes +
     # the gradual in-box loss upweighting — not the plain VideoMAE step.
     cfg = PretrainConfig(
@@ -93,7 +94,10 @@ def main():
         params, lr_schedule=lr, betas=(0.9, 0.95), weight_decay=0.05
     )
     state = TrainState.create(params, tx)
-    step = jax.jit(make_pretrain_step(model, tx, cfg, lr))
+    # donate state like the CLI does (cli/pretrain.py) so XLA updates
+    # params/moments in place instead of allocating fresh buffers
+    step = jax.jit(make_pretrain_step(model, tx, cfg, lr),
+                   donate_argnums=(0,))
     batch = {"clip": clip, "boxes": boxes}
     rng = jax.random.PRNGKey(2)
 

@@ -23,6 +23,7 @@ Layout convention: activations are channel-last video clips (B, T, H, W, C)
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable, Optional, Sequence
 
 import flax.linen as nn
@@ -31,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mofo_tpu.ops.attention import dot_product_attention
+from mofo_tpu.ops.fused_ln import ln_linear, manual_layer_norm
 
 Array = jax.Array
 Dtype = Any
@@ -85,6 +87,70 @@ class DropPath(nn.Module):
         return drop_path(x, self.rate, deterministic, rng)
 
 
+class _LNParams(nn.Module):
+    """Declares LayerNorm scale/bias under this module's name WITHOUT
+    applying the norm, so Block can hand the parameters to the fused
+    LN+matmul kernel (ops/fused_ln.ln_linear). The parameter tree is
+    identical to nn.LayerNorm(name=...), so checkpoints are
+    interchangeable between the fused and unfused paths."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.dim,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.dim,), jnp.float32
+        )
+        return scale, bias
+
+
+class _DenseParams(nn.Module):
+    """Declares Dense kernel/bias (same tree as nn.Dense(name=...))
+    for consumption by a fused kernel."""
+
+    features_in: int
+    features_out: int
+    kernel_init: Callable = nn.initializers.xavier_uniform()
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (self.features_in, self.features_out), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features_out,),
+            jnp.float32,
+        )
+        return kernel, bias
+
+
+@functools.lru_cache(maxsize=1)
+def _fuse_ln_sites() -> frozenset:
+    """Which Block LN sites run through the fused LN+matmul kernel.
+
+    Default: NONE. Measured on v5e (full ViT-B MOFO step, B=48): the
+    fused kernel wins standalone microbenches at two of four sites, but
+    in-step it LOSES everywhere — qkv 151.9 -> 157.3 ms, fc1 -> 173.3 ms
+    — because each pallas_call is a fusion boundary: unfused, XLA folds
+    the LN into neighboring elementwise work and shares its backward
+    with the rest of the graph. Kept as MOFO_FUSE_LN for experiments on
+    other topologies: "1"/"qkv,fc1", or a comma subset of {qkv, fc1}.
+    """
+    env = os.environ.get("MOFO_FUSE_LN")
+    if env is not None:
+        env = env.strip().lower()
+        if env in ("0", "none", ""):
+            return frozenset()
+        if env == "1":
+            return frozenset({"qkv", "fc1"})
+        return frozenset(s.strip() for s in env.split(","))
+    return frozenset()
+
+
 class Mlp(nn.Module):
     """fc1 -> GELU(exact) -> fc2 -> dropout. Reference modeling_finetune.py:34-51."""
 
@@ -95,14 +161,31 @@ class Mlp(nn.Module):
     kernel_init: Callable = nn.initializers.xavier_uniform()
 
     @nn.compact
-    def __call__(self, x: Array, deterministic: bool = True) -> Array:
-        x = nn.Dense(
-            self.hidden_features,
-            dtype=self.dtype,
-            kernel_init=self.kernel_init,
-            bias_init=nn.initializers.zeros,
-            name="fc1",
-        )(x)
+    def __call__(
+        self,
+        x: Array,
+        deterministic: bool = True,
+        ln: Optional[tuple] = None,
+    ) -> Array:
+        if ln is not None:
+            # fused LayerNorm(x) @ fc1 (x enters RAW — the caller skipped
+            # its norm2); same param tree as nn.Dense(name="fc1")
+            k1, b1 = _DenseParams(
+                x.shape[-1], self.hidden_features,
+                kernel_init=self.kernel_init, name="fc1",
+            )()
+            x = ln_linear(
+                x, ln[0], ln[1], k1.astype(self.dtype),
+                b1.astype(self.dtype), out_dtype=self.dtype,
+            )
+        else:
+            x = nn.Dense(
+                self.hidden_features,
+                dtype=self.dtype,
+                kernel_init=self.kernel_init,
+                bias_init=nn.initializers.zeros,
+                name="fc1",
+            )(x)
         # torch nn.GELU default is the exact erf formulation.
         x = nn.gelu(x, approximate=False)
         x = nn.Dense(
@@ -143,6 +226,7 @@ class Attention(nn.Module):
         x: Array,
         deterministic: bool = True,
         attn_bias: Optional[Array] = None,
+        ln: Optional[tuple] = None,
     ) -> Array:
         B, N, _ = x.shape
         head_dim = self.attn_head_dim or self.dim // self.num_heads
@@ -191,18 +275,33 @@ class Attention(nn.Module):
         else:
             use_flat = False
 
-        if use_flat:
-            from mofo_tpu.ops.flash_attention import flash_attention_mh
-
+        # qkv projection, shared by both layouts. With ln, x enters RAW
+        # (the caller skipped norm1) and LayerNorm + projection run as one
+        # fused Pallas kernel — the normalized activation never makes an
+        # HBM round-trip.
+        bias_flat = None
+        if self.qkv_bias:
+            bias_flat = jnp.concatenate(
+                [q_bias, jnp.zeros_like(q_bias), v_bias]
+            ).astype(self.dtype)
+        if ln is not None:
+            if bias_flat is None:
+                bias_flat = jnp.zeros((3 * all_head_dim,), self.dtype)
+            qkv = ln_linear(
+                x, ln[0], ln[1], qkv_kernel.astype(self.dtype),
+                bias_flat, out_dtype=self.dtype,
+            )  # (B, N, 3*H*Dh), laid out [q | k | v], heads contiguous
+        else:
             qkv = jnp.einsum(
                 "bnd,de->bne", x, qkv_kernel.astype(self.dtype),
                 preferred_element_type=self.dtype,
-            )  # (B, N, 3*H*Dh), laid out [q | k | v], heads contiguous
-            if self.qkv_bias:
-                bias_flat = jnp.concatenate(
-                    [q_bias, jnp.zeros_like(q_bias), v_bias]
-                ).astype(self.dtype)
+            )
+            if bias_flat is not None:
                 qkv = qkv + bias_flat
+
+        if use_flat:
+            from mofo_tpu.ops.flash_attention import flash_attention_mh
+
             q = qkv[:, :, :all_head_dim]
             k = qkv[:, :, all_head_dim:2 * all_head_dim]
             v = qkv[:, :, 2 * all_head_dim:]
@@ -210,19 +309,10 @@ class Attention(nn.Module):
                 q, k, v, scale=scale, num_heads=self.num_heads
             )  # (B, N, H*Dh) — already projection-ready
         else:
-            # head-major path: ONE flat MXU matmul then reshape+transpose
+            # head-major path: the flat qkv above then reshape+transpose
             # to (3, B, H, N, Dh) — ~2x the strided "bnd,dthe->tbhne"
             # einsum for fwd+bwd including dW (the transpose is cheap;
             # the strided contraction is not)
-            qkv = jnp.einsum(
-                "bnd,de->bne", x, qkv_kernel.astype(self.dtype),
-                preferred_element_type=self.dtype,
-            )
-            if self.qkv_bias:
-                bias_flat = jnp.concatenate(
-                    [q_bias, jnp.zeros_like(q_bias), v_bias]
-                ).astype(self.dtype)
-                qkv = qkv + bias_flat
             qkv = qkv.reshape(
                 B, N, 3, self.num_heads, head_dim
             ).transpose(2, 0, 3, 1, 4)
@@ -386,10 +476,22 @@ class Block(nn.Module):
     kernel_init: Callable = nn.initializers.xavier_uniform()
     attn_impl: str = "auto"
     sow_attn: bool = False
+    fuse_ln: Optional[bool] = None  # None = auto (_fuse_ln_sites)
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         in_dtype = x.dtype
+        if self.fuse_ln is None:
+            sites = _fuse_ln_sites()
+        else:
+            sites = frozenset({"qkv", "fc1"}) if self.fuse_ln else frozenset()
+
+        if "qkv" in sites:
+            ln1 = _LNParams(self.dim, name="norm1")()
+            attn_in = x
+        else:
+            ln1 = None
+            attn_in = _layer_norm(x, self.dtype, name="norm1")
         attn_out = Attention(
             dim=self.dim,
             num_heads=self.num_heads,
@@ -404,8 +506,9 @@ class Block(nn.Module):
             sow_attn=self.sow_attn,
             name="attn",
         )(
-            _layer_norm(x, self.dtype, name="norm1"),
+            attn_in,
             deterministic=deterministic,
+            ln=ln1,
         )
         if self.init_values > 0:
             gamma_1 = self.param(
@@ -419,6 +522,12 @@ class Block(nn.Module):
             attn_out, deterministic=deterministic
         )
 
+        if "fc1" in sites:
+            ln2 = _LNParams(self.dim, name="norm2")()
+            mlp_in = x
+        else:
+            ln2 = None
+            mlp_in = _layer_norm(x, self.dtype, name="norm2")
         mlp_out = Mlp(
             hidden_features=int(self.dim * self.mlp_ratio),
             out_features=self.dim,
@@ -427,8 +536,9 @@ class Block(nn.Module):
             kernel_init=self.kernel_init,
             name="mlp",
         )(
-            _layer_norm(x, self.dtype, name="norm2"),
+            mlp_in,
             deterministic=deterministic,
+            ln=ln2,
         )
         if self.init_values > 0:
             gamma_2 = self.param(

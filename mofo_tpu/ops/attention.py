@@ -13,6 +13,7 @@ modeling_finetune.py:88-95; numerics here match it (softmax in float32).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -21,7 +22,9 @@ import jax.numpy as jnp
 Array = jax.Array
 
 # Sequences shorter than this gain nothing from a blockwise kernel.
-_PALLAS_MIN_SEQ = 512
+# MOFO_PALLAS_MIN_SEQ overrides for perf experiments (e.g. 128 routes
+# the 160-token pretrain encoder through the flash kernel too).
+_PALLAS_MIN_SEQ = int(os.environ.get("MOFO_PALLAS_MIN_SEQ", "512"))
 
 
 def _on_tpu() -> bool:

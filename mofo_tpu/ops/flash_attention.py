@@ -49,7 +49,15 @@ def _block_for(n: int) -> int:
     cycles in every score matmul (the fixed 256 block pads the 1568-token
     decoder to 1792 — 14% wasted flops — and the 160-token encoder to
     256), and the in-kernel column masks become no-ops.
+
+    MOFO_FLASH_BLOCK overrides the choice (perf experiments) when it
+    divides n.
     """
+    import os
+
+    env = os.environ.get("MOFO_FLASH_BLOCK")
+    if env and n > 512 and n % int(env) == 0:
+        return int(env)
     if n % 8 == 0:
         lane_pad = -(-n // 128) * 128  # physical kv width after Mosaic
         pad256 = -(-n // 256) * 256  # kv width with 256 blocks
@@ -490,9 +498,10 @@ def _mh_fwd_impl(q, k, v, scale, heads, interpret):
         ],
         # divisor q-blocks (e.g. 392 at the 1568-token decoder) carry
         # larger f32 score transients than the old padded-256 blocks;
-        # the default 16M scoped-vmem budget is ~150K short
+        # the default 16M scoped-vmem budget is ~150K short (more for
+        # oversized experiment blocks)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=24 * 1024 * 1024
+            vmem_limit_bytes=(48 if bq > 512 else 24) * 1024 * 1024
         ),
         interpret=interpret,
     )(qp, kp, vp)
@@ -565,9 +574,9 @@ def _mh_bwd_impl(q, k, v, out, lse, do, scale, heads, interpret):
         scratch_shapes=[pltpu.VMEM((n_pad, A), jnp.float32)],
         # the unrolled (q-block x head) loop carries long-lived f32
         # accumulators; the default 16M scoped-vmem budget is ~2M short
-        # at the ViT-B decoder shape
+        # at the ViT-B decoder shape (and larger blocks need more)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024
+            vmem_limit_bytes=(64 if bq > 512 else 32) * 1024 * 1024
         ),
         interpret=interpret,
     )(qp, kp, vp, dop, ld)

@@ -184,7 +184,8 @@ def create_optimizer(
 
     `opt` mirrors the reference zoo names where they make sense on TPU:
     adamw (default), adam, sgd/nesterov, momentum, lamb, adafactor,
-    rmsprop, adadelta, lars, lion. Fused/apex variants are meaningless
+    rmsprop, adadelta, lars, lion, nadam, radam, novograd, adamax,
+    adagrad, adabelief, yogi. Fused/apex variants are meaningless
     under XLA (it fuses) and map to their plain versions.
     """
     opt = opt.lower()
@@ -193,7 +194,10 @@ def create_optimizer(
         "fusedadam": "adam",
         "fusedadamw": "adamw",
         "fusedsgd": "sgd",
+        "fusedmomentum": "momentum",
         "fusedlamb": "lamb",
+        "fusednovograd": "novograd",
+        "nvnovograd": "novograd",
     }.get(opt, opt)
 
     mask = decay_mask(params)
@@ -241,6 +245,24 @@ def create_optimizer(
         ]
     elif opt == "lion":
         moments = [optax.scale_by_lion(b1=betas[0], b2=betas[1])]
+    elif opt == "nadam":
+        moments = [optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps,
+                                       nesterov=True)]
+    elif opt == "radam":
+        moments = [optax.scale_by_radam(b1=betas[0], b2=betas[1], eps=eps)]
+    elif opt == "novograd":
+        moments = [
+            optax.scale_by_novograd(b1=betas[0], b2=betas[1], eps=eps)
+        ]
+    elif opt == "adamax":
+        moments = [optax.scale_by_adamax(b1=betas[0], b2=betas[1], eps=eps)]
+    elif opt == "adagrad":
+        moments = [optax.scale_by_rss(initial_accumulator_value=0.0,
+                                      eps=eps)]
+    elif opt == "adabelief":
+        moments = [optax.scale_by_belief(b1=betas[0], b2=betas[1], eps=eps)]
+    elif opt == "yogi":
+        moments = [optax.scale_by_yogi(b1=betas[0], b2=betas[1], eps=eps)]
     else:
         raise ValueError(f"Unknown optimizer: {opt}")
 

@@ -238,3 +238,28 @@ class TestResilientLoading:
 
         assert _entry_loadable(video_file)
         assert not _entry_loadable("/nonexistent.mp4")
+
+
+class TestMultiProcessFeeding:
+    def test_to_global_multiprocess_branch(self, monkeypatch):
+        """The process_count()>1 branch assembles global arrays via
+        jax.make_array_from_process_local_data; with one real process
+        (whose devices cover the mesh) it must equal a plain sharded
+        device_put, so the branch is exercisable in CI."""
+        from mofo_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.build_mesh(mesh_lib.MeshConfig(data=8))
+        sharding = mesh_lib.batch_sharding(mesh)
+        ds = P.SyntheticClipDataset(n=8, num_frames=2,
+                                    decode_size=(16, 16))
+        loader = P.PrefetchLoader(ds, batch_size=8, sharding=sharding,
+                                  to_device=True)
+        batch_np = loader._fetch(np.arange(8))
+        expect = {k: np.asarray(v) for k, v in batch_np.items()}
+
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        global_batch = loader._to_global(batch_np)
+        for k, v in global_batch.items():
+            assert v.shape[0] == 8
+            assert v.sharding.is_equivalent_to(sharding, v.ndim)
+            np.testing.assert_array_equal(np.asarray(v), expect[k])

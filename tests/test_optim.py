@@ -189,6 +189,44 @@ class TestAdamWParityVsTorch:
         assert abs(float(optim.global_norm(tree)) - 5.0) < 1e-6
 
 
+class TestZoo:
+    def test_every_zoo_name_steps(self):
+        """One update step per optimizer name: finite updates, params
+        move. Mirrors the reference timm factory surface
+        (optim_factory.py create_optimizer)."""
+        import optax
+
+        names = [
+            "adamw", "adam", "sgd", "nesterov", "momentum", "lamb",
+            "adafactor", "rmsprop", "adadelta", "lars", "lion", "nadam",
+            "radam", "novograd", "adamax", "adagrad", "adabelief",
+            "yogi", "fusedadam", "fusedadamw", "fusedsgd", "fusedlamb",
+            "fusednovograd", "nvnovograd", "fusedmomentum",
+        ]
+        params = {"w": jnp.ones((4, 4)), "bias": jnp.zeros((4,))}
+        g = jax.tree.map(lambda p: jnp.full_like(p, 0.5), params)
+        for name in names:
+            tx = optim.create_optimizer(
+                params, lr_schedule=np.array([0.1] * 4), opt=name,
+                weight_decay=0.01,
+            )
+            st = tx.init(params)
+            upd, st = tx.update(g, st, params)
+            new = optax.apply_updates(params, upd)
+            leaves = jax.tree.leaves(new)
+            assert all(np.isfinite(np.asarray(x)).all() for x in leaves), name
+            assert not np.allclose(np.asarray(new["w"]), 1.0), name
+
+    def test_unknown_name_raises(self):
+        import pytest
+
+        params = {"w": jnp.ones((2,))}
+        with pytest.raises(ValueError, match="Unknown optimizer"):
+            optim.create_optimizer(
+                params, lr_schedule=np.array([0.1]), opt="adahessian"
+            )
+
+
 class TestFreeze:
     def test_trainable_mask_freezes_params(self):
         import optax
