@@ -21,10 +21,13 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-# Sequences shorter than this gain nothing from a blockwise kernel.
-# MOFO_PALLAS_MIN_SEQ overrides for perf experiments (e.g. 128 routes
-# the 160-token pretrain encoder through the flash kernel too).
-_PALLAS_MIN_SEQ = int(os.environ.get("MOFO_PALLAS_MIN_SEQ", "512"))
+# Sequences at least this long route through the flash kernel on TPU.
+# 128 was measured faster than the old 512 threshold: sending the
+# 160-token pretrain encoder through the multihead flash kernel instead
+# of XLA attention cut the full ViT-B MOFO step 151.9 -> 146.1 ms on
+# v5e (the XLA path round-trips B*H*N^2 logits+probs through HBM even
+# at short N). MOFO_PALLAS_MIN_SEQ overrides for experiments.
+_PALLAS_MIN_SEQ = int(os.environ.get("MOFO_PALLAS_MIN_SEQ", "128"))
 
 
 def _on_tpu() -> bool:

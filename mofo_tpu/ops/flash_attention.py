@@ -68,8 +68,12 @@ def _block_for(n: int) -> int:
             return _BLOCK_Q
         if n <= 512:
             return n  # single q block
-        for blk in range(512, 63, -8):  # e.g. 1568 -> 392
-            if n % blk == 0:
+        # Largest divisor block whose f32 score transient (bq x n) stays
+        # within ~6M of VMEM: fewer, fatter programs amortize the
+        # prologue/epilogue DMA. 784 at the 1568-token decoder measured
+        # 151.9 -> 147.5 ms on the full ViT-B MOFO step (vs 392).
+        for blk in range(1024, 63, -8):  # e.g. 1568 -> 784
+            if n % blk == 0 and blk * lane_pad * 4 <= 6 * 1024 * 1024:
                 return blk
     return _BLOCK_Q  # fallback: pad to 256 blocks and mask
 
