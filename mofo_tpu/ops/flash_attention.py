@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mofo_tpu.ops.sharded_kernel import batch_dim0_call
+
 Array = jax.Array
 
 _BLOCK_Q = 256
@@ -191,32 +193,35 @@ def _fwd_impl(q, k, v, scale, interpret):
     qp = _pad_to(q, n_pad, 1)
     kp = _pad_to(k, n_pad, 1)
     vp = _pad_to(v, n_pad, 1)
-    grid = (BH, n_pad // bq)
-    out, lse4 = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, n_valid=n_valid),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, D), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, D), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, bq), lambda b, i: (b, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((BH, n_pad, D), q.dtype),
-            jax.ShapeDtypeStruct(
-                (BH, n_pad // bq, 8, bq), jnp.float32
-            ),
-        ],
-        interpret=interpret,
-    )(qp, kp, vp)
+    nq = n_pad // bq
+
+    def call(qp, kp, vp):
+        bh = qp.shape[0]  # LOCAL batch*heads under SPMD partitioning
+        return tuple(pl.pallas_call(
+            functools.partial(_fwd_kernel, scale=scale, n_valid=n_valid),
+            grid=(bh, nq),
+            in_specs=[
+                pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad, D), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad, D), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 8, bq), lambda b, i: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, n_pad, D), q.dtype),
+                jax.ShapeDtypeStruct((bh, nq, 8, bq), jnp.float32),
+            ],
+            interpret=interpret,
+        )(qp, kp, vp))
+
+    out, lse4 = batch_dim0_call(call, qp, kp, vp)
     lse = lse4[:, :, 0, :].reshape(BH, n_pad)
     return out[:, :N], lse
 
@@ -247,59 +252,66 @@ def _bwd_impl(q, k, v, out, lse, do, scale, interpret):
         deltap.reshape(BH, nq, 1, bq), (BH, nq, 8, bq)
     )
 
-    grid = (BH, nq)
-    dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, n_valid=n_valid),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, D), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, D), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, bq), lambda b, i: (b, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, bq), lambda b, i: (b, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BH, n_pad, D), q.dtype),
-        interpret=interpret,
-    )(qp, kp, vp, dop, lse4, delta4)
+    def call_dq(qp, kp, vp, dop, lse4, delta4):
+        bh = qp.shape[0]  # LOCAL batch*heads under SPMD partitioning
+        return pl.pallas_call(
+            functools.partial(_dq_kernel, scale=scale, n_valid=n_valid),
+            grid=(bh, nq),
+            in_specs=[
+                pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad, D), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad, D), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 8, bq), lambda b, i: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 8, bq), lambda b, i: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bh, n_pad, D), q.dtype),
+            interpret=interpret,
+        )(qp, kp, vp, dop, lse4, delta4)
 
-    dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, n_valid=n_valid),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, n_pad, D), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, D), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nq, 8, bq), lambda b, i: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nq, 8, bq), lambda b, i: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((BH, n_pad, D), q.dtype),
-            jax.ShapeDtypeStruct((BH, n_pad, D), q.dtype),
-        ],
-        interpret=interpret,
-    )(qp, kp, vp, dop, lse4, delta4)
+    dq = batch_dim0_call(call_dq, qp, kp, vp, dop, lse4, delta4)
+
+    def call_dkv(qp, kp, vp, dop, lse4, delta4):
+        bh = qp.shape[0]
+        return tuple(pl.pallas_call(
+            functools.partial(_dkv_kernel, scale=scale, n_valid=n_valid),
+            grid=(bh, nq),
+            in_specs=[
+                pl.BlockSpec((1, n_pad, D), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad, D), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nq, 8, bq), lambda b, i: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nq, 8, bq), lambda b, i: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, n_pad, D), q.dtype),
+                jax.ShapeDtypeStruct((bh, n_pad, D), q.dtype),
+            ],
+            interpret=interpret,
+        )(qp, kp, vp, dop, lse4, delta4))
+
+    dk, dv = batch_dim0_call(call_dkv, qp, kp, vp, dop, lse4, delta4)
     return dq[:, :N], dk[:, :N], dv[:, :N]
 
 
@@ -475,40 +487,47 @@ def _mh_fwd_impl(q, k, v, scale, heads, interpret):
     kp = _pad_to(k, n_pad, 1)
     vp = _pad_to(v, n_pad, 1)
     nq = n_pad // bq
-    grid = (B, nq)
-    out, lse = pl.pallas_call(
-        functools.partial(
-            _mh_fwd_kernel, scale=scale, n_valid=n_valid, heads=heads
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, A), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, bq, A), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, heads, 8, bq),
-                         lambda b, i: (b, i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, n_pad, A), q.dtype),
-            jax.ShapeDtypeStruct((B, nq, heads, 8, bq), jnp.float32),
-        ],
-        # divisor q-blocks (e.g. 392 at the 1568-token decoder) carry
-        # larger f32 score transients than the old padded-256 blocks;
-        # the default 16M scoped-vmem budget is ~150K short (more for
-        # oversized experiment blocks)
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=(48 if bq > 512 else 24) * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(qp, kp, vp)
+
+    def call(qp, kp, vp):
+        # batch extent from the operand: under SPMD partitioning
+        # (sharded_kernel.batch_dim0_call) this is the LOCAL shard
+        b = qp.shape[0]
+        out, lse = pl.pallas_call(
+            functools.partial(
+                _mh_fwd_kernel, scale=scale, n_valid=n_valid, heads=heads
+            ),
+            grid=(b, nq),
+            in_specs=[
+                pl.BlockSpec((1, bq, A), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bq, A), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, heads, 8, bq),
+                             lambda b, i: (b, i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, n_pad, A), q.dtype),
+                jax.ShapeDtypeStruct((b, nq, heads, 8, bq), jnp.float32),
+            ],
+            # divisor q-blocks (e.g. 392 at the 1568-token decoder)
+            # carry larger f32 score transients than the old padded-256
+            # blocks; the default 16M scoped-vmem budget is ~150K short
+            # (more for oversized experiment blocks)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=(48 if bq > 512 else 24) * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(qp, kp, vp)
+        return out, lse
+
+    out, lse = batch_dim0_call(call, qp, kp, vp)
     return out[:, :N], lse
 
 
@@ -541,49 +560,52 @@ def _mh_bwd_impl(q, k, v, out, lse, do, scale, heads, interpret):
     # compact (B, nq, 2H, BQ): rows [0,H) lse, rows [H,2H) delta
     ld = jnp.concatenate([lse4, delta4], axis=2)
 
-    grid = (B, nq)
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(
-            _mh_dqkv_kernel, scale=scale, n_valid=n_valid, heads=heads
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, A), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, A), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nq, 2 * heads, bq),
-                         lambda b, i: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            # dq: full-row float32 accumulator, revisited (and kept in
-            # VMEM) across the sequential kv-block steps
-            pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, A), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, A), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, n_pad, A), q.dtype),
-            jax.ShapeDtypeStruct((B, n_pad, A), q.dtype),
-            jax.ShapeDtypeStruct((B, n_pad, A), q.dtype),
-        ],
-        scratch_shapes=[pltpu.VMEM((n_pad, A), jnp.float32)],
-        # the unrolled (q-block x head) loop carries long-lived f32
-        # accumulators; the default 16M scoped-vmem budget is ~2M short
-        # at the ViT-B decoder shape (and larger blocks need more)
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=(64 if bq > 512 else 32) * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(qp, kp, vp, dop, ld)
+    def call(qp, kp, vp, dop, ld):
+        b = qp.shape[0]  # LOCAL batch under SPMD partitioning
+        return tuple(pl.pallas_call(
+            functools.partial(
+                _mh_dqkv_kernel, scale=scale, n_valid=n_valid, heads=heads
+            ),
+            grid=(b, nq),
+            in_specs=[
+                pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, A), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, A), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nq, 2 * heads, bq),
+                             lambda b, i: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                # dq: full-row float32 accumulator, revisited (and kept
+                # in VMEM) across the sequential kv-block steps
+                pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, A), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, A), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, n_pad, A), q.dtype),
+                jax.ShapeDtypeStruct((b, n_pad, A), q.dtype),
+                jax.ShapeDtypeStruct((b, n_pad, A), q.dtype),
+            ],
+            scratch_shapes=[pltpu.VMEM((n_pad, A), jnp.float32)],
+            # the unrolled (q-block x head) loop carries long-lived f32
+            # accumulators; the default 16M scoped-vmem budget is ~2M
+            # short at the ViT-B decoder shape (larger blocks need more)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=(64 if bq > 512 else 32) * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(qp, kp, vp, dop, ld))
+
+    dq, dk, dv = batch_dim0_call(call, qp, kp, vp, dop, ld)
     return dq[:, :N], dk[:, :N], dv[:, :N]
 
 
