@@ -85,13 +85,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, n_valid):
     # lse: (1, 1, 8, bq) block of a (BH, nq, 8, bq) array — the row is
     # replicated over the 8 sublanes because Mosaic cannot do dynamic
     # sublane-indexed stores into a (BH, n_pad) layout.
-    q = q_ref[0]
+    # fold scale into the (bq, D) q operand — one small VPU pass instead
+    # of scaling the (bq, Nk) score matrix (matches xla_attention, which
+    # also scales q)
+    q = q_ref[0] * q_ref.dtype.type(scale)
     k = k_ref[0]
     v = v_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # (bq, Nk)
+    )  # (bq, Nk)
     if n_valid is not None:  # static: only when kv rows are padded
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < n_valid, s, _NEG_INF)
@@ -109,27 +112,34 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, n_valid):
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                *, scale, n_valid):
-    q = q_ref[0]
+    # bf16 matmul operands + f32 accumulation throughout (f32 operands
+    # would run the MXU at 1/4 of bf16 peak); p/ds math stays f32 on the
+    # VPU
+    # scale folds into the (., D) operands: qs for the score recompute,
+    # ks for the dq matmul — two small VPU passes replace two (bq, Nk)
+    # passes (s * scale and ds * scale)
+    qs = q_ref[0] * q_ref.dtype.type(scale)
     k = k_ref[0]
+    ks = k * k_ref.dtype.type(scale)
     v = v_ref[0]
-    do = do_ref[0].astype(jnp.float32)
+    do = do_ref[0]
     lse = lse_ref[0, 0, 0]
     delta = delta_ref[0, 0, 0]
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
+        qs, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale
+    )
     if n_valid is not None:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < n_valid, s, _NEG_INF)
     p = jnp.exp(s - lse[:, None])
     dp = jax.lax.dot_general(
-        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds = p * (dp - delta[:, None]) * scale
+    ds = (p * (dp - delta[:, None])).astype(k.dtype)
     dq = jax.lax.dot_general(
-        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        ds, ks, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dq_ref[0] = dq.astype(dq_ref.dtype)
@@ -149,26 +159,29 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dk_acc = jnp.zeros((bk, D), jnp.float32)
     dv_acc = jnp.zeros((bk, D), jnp.float32)
     for qi in range(nq):
-        qb = q_ref[0, pl.ds(qi * bq, bq), :]
-        dob = do_ref[0, pl.ds(qi * bq, bq), :].astype(jnp.float32)
+        # bf16 matmul operands + f32 accumulation; scale folded into the
+        # (bq, D) q operand, which both the score recompute and the dk
+        # matmul consume (see _mh_dqkv_kernel)
+        qb = q_ref[0, pl.ds(qi * bq, bq), :] * q_ref.dtype.type(scale)
+        dob = do_ref[0, pl.ds(qi * bq, bq), :]
         lse = lse_ref[0, qi, 0]
         delta = delta_ref[0, qi, 0]
         s = jax.lax.dot_general(
             qb, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (bq, bk)
+        )  # (bq, bk)
         p = jnp.exp(s - lse[:, None])  # padded rows -> exp(-inf) = 0
         dv_acc = dv_acc + jax.lax.dot_general(
             p.astype(dob.dtype), dob, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
-            dob, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            dob, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (bq, bk)
-        ds = p * (dp - delta[:, None]) * scale
+        ds = (p * (dp - delta[:, None])).astype(k.dtype)
         dk_acc = dk_acc + jax.lax.dot_general(
-            ds, qb.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            ds, qb, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     dk_ref[0] = dk_acc.astype(dk_ref.dtype)
@@ -371,13 +384,15 @@ def _mh_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     hd = q_ref.shape[-1] // heads
     for h in range(heads):
         sl = slice(h * hd, (h + 1) * hd)
-        qh = q_ref[0][:, sl]
+        # scale folds into the (bq, hd) q operand, not the (bq, Nk)
+        # score matrix (one small VPU pass; matches xla_attention)
+        qh = q_ref[0][:, sl] * q_ref.dtype.type(scale)
         kh = k_ref[0][:, sl]
         vh = v_ref[0][:, sl]
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
+        )
         if n_valid is not None:  # static: only when kv rows are padded
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < n_valid, s, _NEG_INF)
@@ -425,22 +440,35 @@ def _mh_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, ld_ref,
     k0 = ki * bk
     dk_acc = [jnp.zeros((bk, hd), jnp.float32) for _ in range(heads)]
     dv_acc = [jnp.zeros((bk, hd), jnp.float32) for _ in range(heads)]
+    # per-head k/v slices are qi-invariant: slice (and scale) them once
+    kh_all = [k_ref[0][:, h * hd:(h + 1) * hd] for h in range(heads)]
+    khs_all = [kh * kh.dtype.type(scale) for kh in kh_all]
+    vh_all = [v_ref[0][:, h * hd:(h + 1) * hd] for h in range(heads)]
     for qi in range(nq):
         qb = q_ref[0, pl.ds(qi * bq, bq), :]
         dob = do_ref[0, pl.ds(qi * bq, bq), :]
         dq_pieces = []
         for h in range(heads):
+            # every matmul takes bf16 (input-dtype) operands with f32
+            # accumulation (preferred_element_type): f32 operands would
+            # run the MXU at 1/4 of bf16 peak. p and ds are computed in
+            # f32 on the VPU, then cast back down for the matmuls — the
+            # same recipe as the standard fused flash backward.
             sl = slice(h * hd, (h + 1) * hd)
-            qh = qb[:, sl]
-            doh = dob[:, sl].astype(jnp.float32)
-            kh = k_ref[0][:, sl]
-            vh = v_ref[0][:, sl]
+            # scale folds into the (., hd) operands: qh (consumed by the
+            # score recompute AND the dk matmul) and a scaled kh copy for
+            # the dq matmul — replacing two (bq, bk) VPU passes
+            qh = qb[:, sl] * qb.dtype.type(scale)
+            doh = dob[:, sl]
+            kh = kh_all[h]
+            khs = khs_all[h]
+            vh = vh_all[h]
             lse = ld_ref[0, qi, h]
             delta = ld_ref[0, qi, heads + h]
             s = jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale  # (bq, bk)
+            )  # (bq, bk)
             if n_valid is not None:
                 col = k0 + jax.lax.broadcasted_iota(
                     jnp.int32, s.shape, 1
@@ -452,16 +480,16 @@ def _mh_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, ld_ref,
                 preferred_element_type=jnp.float32,
             )
             dp = jax.lax.dot_general(
-                doh, vh.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                doh, vh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            ds = p * (dp - delta[:, None]) * scale
+            ds = (p * (dp - delta[:, None])).astype(kh.dtype)
             dk_acc[h] = dk_acc[h] + jax.lax.dot_general(
-                ds, qh.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                ds, qh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             dq_pieces.append(jax.lax.dot_general(
-                ds.astype(kh.dtype), kh, (((1,), (0,)), ((), ())),
+                ds, khs, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ))
         dq_blk = jnp.concatenate(dq_pieces, axis=-1)  # (bq, A) f32
