@@ -147,12 +147,17 @@ def masked_normalized_targets(
     instead of stride-C reductions."""
     D = tokens_pix.shape[-1]
     npos = D // channels
+    # keep the gather in the input dtype (bf16 in bf16 training steps:
+    # half the HBM traffic of an f32 upcast); all statistics accumulate
+    # in f32 regardless (preferred_element_type on the selector matmuls)
+    wdt = tokens_pix.dtype if tokens_pix.dtype == jnp.bfloat16 \
+        else jnp.float32
     g = jnp.take_along_axis(
         tokens_pix, mask_indices[..., None], axis=1
-    ).astype(jnp.float32)  # (B, M, D)
+    ).astype(wdt)  # (B, M, D)
     if input_normalized:
-        s_vec = jnp.tile(jnp.asarray(std, jnp.float32), npos)
-        m_vec = jnp.tile(jnp.asarray(mean, jnp.float32), npos)
+        s_vec = jnp.tile(jnp.asarray(std, wdt), npos)
+        m_vec = jnp.tile(jnp.asarray(mean, wdt), npos)
         g = g * s_vec + m_vec
     if not normalize_target:
         return g.astype(compute_dtype)
@@ -160,19 +165,27 @@ def masked_normalized_targets(
     sel = jnp.asarray(
         (jnp.arange(D)[:, None] % channels)
         == jnp.arange(channels)[None, :],
-        jnp.float32,
+        wdt,
     )
     sums = jnp.einsum("bmd,dc->bmc", g, sel,
                       preferred_element_type=jnp.float32)
-    sqs = jnp.einsum("bmd,dc->bmc", g * g, sel,
+    sqs = jnp.einsum("bmd,dc->bmc",
+                     (g.astype(jnp.float32) * g).astype(wdt), sel,
                      preferred_element_type=jnp.float32)
     mu = sums / npos
     var = (sqs - npos * mu * mu) / (npos - 1)  # unbiased
     denom = jnp.sqrt(jnp.maximum(var, 0.0)) + 1e-6
-    B, M = g.shape[:2]
-    g4 = g.reshape(B, M, npos, channels)
-    out = (g4 - mu[:, :, None, :]) / denom[:, :, None, :]
-    return out.reshape(B, M, D).astype(compute_dtype)
+    # broadcast the (B, M, C) stats back over D with the same selector
+    # (one exact matmul — each row of sel has a single 1) instead of a
+    # (B, M, npos, C) reshape: the 4-D view forced XLA into two full-size
+    # layout copies around the sub/div at the ViT-B geometry
+    fsel = sel.astype(jnp.float32)
+    mu_d = jnp.einsum("bmc,dc->bmd", mu, fsel,
+                      preferred_element_type=jnp.float32)
+    denom_d = jnp.einsum("bmc,dc->bmd", denom, fsel,
+                         preferred_element_type=jnp.float32)
+    out = (g.astype(jnp.float32) - mu_d) / denom_d
+    return out.astype(compute_dtype)
 
 
 def gather_masked_targets(

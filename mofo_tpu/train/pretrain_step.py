@@ -80,15 +80,20 @@ def _loss_for_batch(
     # ONE layout transpose serves both the encoder embedding and the
     # reconstruction targets (patchify_flat); targets gather the masked
     # rows first and reduce per-channel stats over contiguous lanes.
+    # In bf16 steps the transpose runs on bf16 pixels: the token-major
+    # relayout is 4 full-size HBM passes at the ViT-B geometry (~13
+    # ms/step in f32 at B=48, measured) and the embed matmul consumes
+    # bf16 anyway; --dtype float32 keeps bit-exact f32 targets.
+    bf16 = cfg.dtype == "bfloat16"
     tokens_pix = patchify.patchify_flat(
-        clip, patch_size=cfg.patch_size, tubelet_size=cfg.tubelet_size
+        clip.astype(jnp.bfloat16) if bf16 else clip,
+        patch_size=cfg.patch_size, tubelet_size=cfg.tubelet_size
     )
     targets = patchify.masked_normalized_targets(
         tokens_pix,
         masked_idx,
         normalize_target=cfg.normalize_target,
-        compute_dtype=jnp.bfloat16 if cfg.dtype == "bfloat16"
-        else jnp.float32,
+        compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
     )
 
     weights = None
