@@ -89,6 +89,9 @@ def _loss_for_batch(
         clip.astype(jnp.bfloat16) if bf16 else clip,
         patch_size=cfg.patch_size, tubelet_size=cfg.tubelet_size
     )
+    # (measured: fusing the target normalization into the loss via
+    # masked_target_stats/masked_norm_mse_loss regressed 131.2 -> 134.7
+    # ms — materialized bf16 targets win; the stats path stays available)
     targets = patchify.masked_normalized_targets(
         tokens_pix,
         masked_idx,
