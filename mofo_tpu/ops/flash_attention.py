@@ -382,20 +382,30 @@ def _mh_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     # lse: (1, 1, H, 8, bq) — per-head row logsumexp, replicated over the
     # 8 sublanes (same Mosaic constraint as the head-major kernel above).
     hd = q_ref.shape[-1] // heads
-    for h in range(heads):
-        sl = slice(h * hd, (h + 1) * hd)
+
+    def score(h):
         # scale folds into the (bq, hd) q operand, not the (bq, Nk)
         # score matrix (one small VPU pass; matches xla_attention)
+        sl = slice(h * hd, (h + 1) * hd)
         qh = q_ref[0][:, sl] * q_ref.dtype.type(scale)
-        kh = k_ref[0][:, sl]
-        vh = v_ref[0][:, sl]
         s = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())),
+            qh, k_ref[0][:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         if n_valid is not None:  # static: only when kv rows are padded
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < n_valid, s, _NEG_INF)
+        return s
+
+    # software pipelining: issue head h+1's score matmul before head h's
+    # VPU softmax so the MXU overlaps the max/exp/sum work
+    s_next = score(0)
+    for h in range(heads):
+        s = s_next
+        if h + 1 < heads:
+            s_next = score(h + 1)
+        sl = slice(h * hd, (h + 1) * hd)
+        vh = v_ref[0][:, sl]
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
@@ -444,52 +454,59 @@ def _mh_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, ld_ref,
     kh_all = [k_ref[0][:, h * hd:(h + 1) * hd] for h in range(heads)]
     khs_all = [kh * kh.dtype.type(scale) for kh in kh_all]
     vh_all = [v_ref[0][:, h * hd:(h + 1) * hd] for h in range(heads)]
+    def score(qh, h):
+        s = jax.lax.dot_general(
+            qh, kh_all[h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, bk)
+        if n_valid is not None:
+            col = k0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n_valid, s, _NEG_INF)
+        return s
+
     for qi in range(nq):
         qb = q_ref[0, pl.ds(qi * bq, bq), :]
         dob = do_ref[0, pl.ds(qi * bq, bq), :]
+        # every matmul takes bf16 (input-dtype) operands with f32
+        # accumulation (preferred_element_type): f32 operands would run
+        # the MXU at 1/4 of bf16 peak. p and ds are computed in f32 on
+        # the VPU, then cast back down for the matmuls — the standard
+        # fused flash-backward recipe. scale folds into the (., hd)
+        # operands qh / khs — two small passes instead of two (bq, bk)
+        # ones.
+        qh_all = [
+            qb[:, h * hd:(h + 1) * hd] * qb.dtype.type(scale)
+            for h in range(heads)
+        ]
+        doh_all = [dob[:, h * hd:(h + 1) * hd] for h in range(heads)]
         dq_pieces = []
+        # software pipelining: issue head h+1's score matmul and the
+        # independent dp matmul before head h's VPU softmax/ds work so
+        # the MXU stays fed while the VPU runs exp / (dp - delta) * p
+        s_next = score(qh_all[0], 0)
         for h in range(heads):
-            # every matmul takes bf16 (input-dtype) operands with f32
-            # accumulation (preferred_element_type): f32 operands would
-            # run the MXU at 1/4 of bf16 peak. p and ds are computed in
-            # f32 on the VPU, then cast back down for the matmuls — the
-            # same recipe as the standard fused flash backward.
-            sl = slice(h * hd, (h + 1) * hd)
-            # scale folds into the (., hd) operands: qh (consumed by the
-            # score recompute AND the dk matmul) and a scaled kh copy for
-            # the dq matmul — replacing two (bq, bk) VPU passes
-            qh = qb[:, sl] * qb.dtype.type(scale)
-            doh = dob[:, sl]
-            kh = kh_all[h]
-            khs = khs_all[h]
-            vh = vh_all[h]
+            s = s_next
+            if h + 1 < heads:
+                s_next = score(qh_all[h + 1], h + 1)
+            doh = doh_all[h]
+            dp = jax.lax.dot_general(
+                doh, vh_all[h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
             lse = ld_ref[0, qi, h]
             delta = ld_ref[0, qi, heads + h]
-            s = jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (bq, bk)
-            if n_valid is not None:
-                col = k0 + jax.lax.broadcasted_iota(
-                    jnp.int32, s.shape, 1
-                )
-                s = jnp.where(col < n_valid, s, _NEG_INF)
             p = jnp.exp(s - lse[:, None])
             dv_acc[h] = dv_acc[h] + jax.lax.dot_general(
                 p.astype(doh.dtype), doh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            dp = jax.lax.dot_general(
-                doh, vh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            ds = (p * (dp - delta[:, None])).astype(kh.dtype)
+            ds = (p * (dp - delta[:, None])).astype(qb.dtype)
             dk_acc[h] = dk_acc[h] + jax.lax.dot_general(
-                ds, qh, (((0,), (0,)), ((), ())),
+                ds, qh_all[h], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             dq_pieces.append(jax.lax.dot_general(
-                ds, khs, (((1,), (0,)), ((), ())),
+                ds, khs_all[h], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ))
         dq_blk = jnp.concatenate(dq_pieces, axis=-1)  # (bq, A) f32
