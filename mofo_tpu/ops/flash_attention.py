@@ -480,14 +480,13 @@ def _mh_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, ld_ref,
         ]
         doh_all = [dob[:, h * hd:(h + 1) * hd] for h in range(heads)]
         dq_pieces = []
-        # software pipelining: issue head h+1's score matmul and the
+        # software pipelining: issue ALL score matmuls up front (6 x
+        # (bq, bk) f32 tiles stay inside the raised VMEM budget) and the
         # independent dp matmul before head h's VPU softmax/ds work so
         # the MXU stays fed while the VPU runs exp / (dp - delta) * p
-        s_next = score(qh_all[0], 0)
+        s_all = [score(qh_all[h], h) for h in range(heads)]
         for h in range(heads):
-            s = s_next
-            if h + 1 < heads:
-                s_next = score(qh_all[h + 1], h + 1)
+            s = s_all[h]
             doh = doh_all[h]
             dp = jax.lax.dot_general(
                 doh, vh_all[h], (((1,), (1,)), ((), ())),
