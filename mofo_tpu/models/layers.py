@@ -680,15 +680,10 @@ class PatchEmbed(nn.Module):
             # transpose between embedding and reconstruction targets
             assert x.shape[-1] == patch_dim, (x.shape, patch_dim)
         else:
-            B, T, H, W, C = x.shape
-            assert H == self.img_size and W == self.img_size, (
-                f"Input image size ({H}x{W}) doesn't match model"
-                f" ({self.img_size}x{self.img_size})."
+            assert x.shape[2] == self.img_size, (
+                f"Input image size ({x.shape[2]}x{x.shape[3]}) doesn't "
+                f"match model ({self.img_size}x{self.img_size})."
             )
-            t, h, w = T // p0, H // p, W // p
-            x = x.reshape(B, t, p0, h, p, w, p, C)
-            x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # (B,t,h,w,p0,p1,p2,C)
-            x = x.reshape(B, t * h * w, patch_dim)
         kernel = self.param(
             "kernel", self.kernel_init, (patch_dim, self.embed_dim),
             jnp.float32,
@@ -696,6 +691,36 @@ class PatchEmbed(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.embed_dim,), jnp.float32
         )
+        if x.ndim == 5:
+            # direct conv path (experiment, MOFO_EMBED_CONV=1): let the
+            # TPU convolution emitter handle the patch extraction instead
+            # of the explicit token-major transpose. Same math: the
+            # (patch_dim, D) kernel reshapes to DHWIO with the (p0, p1,
+            # p2, c) row order this module documents. MEASURED DEAD END
+            # on v5e: 171.5 ms full MOFO step vs 129.7 for the
+            # reshape+matmul path (the conv emitter's internal relayout
+            # is far worse than the explicit transpose) — keep OFF.
+            import os
+
+            B, T, H, W, C = x.shape
+            if os.environ.get("MOFO_EMBED_CONV") == "1":
+                kdhwio = kernel.reshape(
+                    p0, p, p, self.in_chans, self.embed_dim
+                )
+                y = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype),
+                    kdhwio.astype(self.dtype),
+                    window_strides=(p0, p, p),
+                    padding="VALID",
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                    preferred_element_type=self.dtype,
+                )  # (B, t, h, w, D)
+                y = y.reshape(B, self.num_patches, self.embed_dim)
+                return y + bias.astype(self.dtype)
+            t, h, w = T // p0, H // p, W // p
+            x = x.reshape(B, t, p0, h, p, w, p, C)
+            x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+            x = x.reshape(B, t * h * w, patch_dim)
         x = (
             jnp.einsum(
                 "bnp,pd->bnd",

@@ -118,6 +118,9 @@ def patchify_flat(
     B, T, H, W, C = clip.shape
     p0, p = tubelet_size, patch_size
     t, h, w = T // p0, H // p, W // p
+    # (measured: splitting this into two permutes with larger contiguous
+    # blocks compiles to the same schedule — XLA canonicalizes; 130.5 vs
+    # 130.2 ms full step)
     x = clip.reshape(B, t, p0, h, p, w, p, C)
     x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # (B,t,h,w,p0,p1,p2,C)
     return x.reshape(B, t * h * w, p0 * p * p * C)
@@ -145,8 +148,6 @@ def masked_normalized_targets(
     (D,)-vector affine, and compute the per-channel sums with thin
     matmuls against a channel-selector matrix — contiguous-lane work
     instead of stride-C reductions."""
-    D = tokens_pix.shape[-1]
-    npos = D // channels
     # keep the gather in the input dtype (bf16 in bf16 training steps:
     # half the HBM traffic of an f32 upcast); all statistics accumulate
     # in f32 regardless (preferred_element_type on the selector matmuls)
@@ -155,6 +156,33 @@ def masked_normalized_targets(
     g = jnp.take_along_axis(
         tokens_pix, mask_indices[..., None], axis=1
     ).astype(wdt)  # (B, M, D)
+    return normalize_patch_rows(
+        g,
+        channels=channels,
+        normalize_target=normalize_target,
+        input_normalized=input_normalized,
+        compute_dtype=compute_dtype,
+        mean=mean,
+        std=std,
+    )
+
+
+def normalize_patch_rows(
+    g: Array,
+    *,
+    channels: int = 3,
+    normalize_target: bool = True,
+    input_normalized: bool = True,
+    compute_dtype=jnp.float32,
+    mean: Tuple[float, ...] = constants.IMAGENET_DEFAULT_MEAN,
+    std: Tuple[float, ...] = constants.IMAGENET_DEFAULT_STD,
+) -> Array:
+    """Per-patch per-channel target normalization of gathered pixel rows
+    g (B, M, D), channel fastest (see masked_normalized_targets)."""
+    D = g.shape[-1]
+    npos = D // channels
+    wdt = g.dtype if g.dtype == jnp.bfloat16 else jnp.float32
+    g = g.astype(wdt)
     if input_normalized:
         s_vec = jnp.tile(jnp.asarray(std, wdt), npos)
         m_vec = jnp.tile(jnp.asarray(mean, wdt), npos)
@@ -177,20 +205,22 @@ def masked_normalized_targets(
     denom = jnp.sqrt(jnp.maximum(var, 0.0)) + 1e-6
     # broadcast the (B, M, C) stats back over D with the same selector
     # (one exact matmul — each row of sel has a single 1) instead of a
-    # (B, M, npos, C) reshape: the 4-D view forced XLA into two full-size
-    # layout copies around the sub/div at the ViT-B geometry
-    # broadcast the (B, M, C) stats back over D with the same selector
-    # (one exact matmul — each row of sel has a single 1) instead of a
     # (B, M, npos, C) reshape: the 4-D view forced XLA into two
     # full-size layout copies around the sub/div at the ViT-B geometry
     # (measured: selector broadcast 131.2 ms step vs 134.5 for the 4-D
-    # reshape and 134.7 for normalizing inside the loss)
+    # reshape and 134.7 for normalizing inside the loss). The broadcast
+    # tensors materialize in compute_dtype (bf16 in bf16 steps — the
+    # per-channel stats are exact f32; only their D-wide broadcast
+    # narrows), halving their HBM traffic.
     fsel = sel.astype(jnp.float32)
     mu_d = jnp.einsum("bmc,dc->bmd", mu, fsel,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32
+                      ).astype(compute_dtype)
     denom_d = jnp.einsum("bmc,dc->bmd", denom, fsel,
-                         preferred_element_type=jnp.float32)
-    out = (g.astype(jnp.float32) - mu_d) / denom_d
+                         preferred_element_type=jnp.float32
+                         ).astype(compute_dtype)
+    out = ((g.astype(jnp.float32) - mu_d.astype(jnp.float32))
+           / denom_d.astype(jnp.float32))
     return out.astype(compute_dtype)
 
 
@@ -265,6 +295,31 @@ def masked_norm_mse_loss(
     w = weights.astype(jnp.float32)[:, :, None, None]
     return jnp.sum(err * w) / (jnp.sum(weights.astype(jnp.float32))
                                * D + 1e-12)
+
+
+def masked_pixel_patches(
+    clip: Array,
+    mask_indices: Array,
+    *,
+    patch_size: int = 16,
+    tubelet_size: int = 2,
+) -> Array:
+    """Gather masked tokens' pixel rows straight from the (B, T, H, W, C)
+    clip — one gather instead of the full token-major transpose (which
+    XLA schedules as 4 full-size passes at the ViT-B geometry) followed
+    by a row gather. Returns (B, M, p0*p*p*C) rows in the same (p0, p1,
+    p2, c) order as patchify_flat."""
+    B, T, H, W, C = clip.shape
+    p0, p = tubelet_size, patch_size
+    t, h, w = T // p0, H // p, W // p
+    x8 = clip.reshape(B, t, p0, h, p, w, p, C)
+    t_idx = mask_indices // (h * w)
+    hw = mask_indices % (h * w)
+    h_idx = hw // w
+    w_idx = hw % w
+    b_idx = jnp.arange(B)[:, None]
+    g = x8[b_idx, t_idx, :, h_idx, :, w_idx]  # (B, M, p0, p1, p2, C)
+    return g.reshape(B, mask_indices.shape[1], p0 * p * p * C)
 
 
 def gather_masked_targets(

@@ -85,19 +85,39 @@ def _loss_for_batch(
     # ms/step in f32 at B=48, measured) and the embed matmul consumes
     # bf16 anyway; --dtype float32 keeps bit-exact f32 targets.
     bf16 = cfg.dtype == "bfloat16"
-    tokens_pix = patchify.patchify_flat(
-        clip.astype(jnp.bfloat16) if bf16 else clip,
-        patch_size=cfg.patch_size, tubelet_size=cfg.tubelet_size
-    )
-    # (measured: fusing the target normalization into the loss via
-    # masked_target_stats/masked_norm_mse_loss regressed 131.2 -> 134.7
-    # ms — materialized bf16 targets win; the stats path stays available)
-    targets = patchify.masked_normalized_targets(
-        tokens_pix,
-        masked_idx,
-        normalize_target=cfg.normalize_target,
-        compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
-    )
+    import os
+
+    if os.environ.get("MOFO_EMBED_CONV") == "1":
+        # experiment: skip the token-major transpose entirely — the
+        # model embeds via lax.conv on the raw clip and targets gather
+        # masked patch pixels straight from (B, T, H, W, C). MEASURED
+        # DEAD END on v5e (171.5 vs 129.7 ms full step) — see
+        # models/layers.PatchEmbed; kept for future hardware A/Bs.
+        tokens_pix = clip.astype(jnp.bfloat16) if bf16 else clip
+        g_rows = patchify.masked_pixel_patches(
+            tokens_pix, masked_idx,
+            patch_size=cfg.patch_size, tubelet_size=cfg.tubelet_size,
+        )
+        targets = patchify.normalize_patch_rows(
+            g_rows,
+            normalize_target=cfg.normalize_target,
+            compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
+        )
+    else:
+        tokens_pix = patchify.patchify_flat(
+            clip.astype(jnp.bfloat16) if bf16 else clip,
+            patch_size=cfg.patch_size, tubelet_size=cfg.tubelet_size
+        )
+        # (measured: fusing the target normalization into the loss via
+        # masked_target_stats/masked_norm_mse_loss regressed 131.2 ->
+        # 134.7 ms — materialized bf16 targets win; the stats path stays
+        # available)
+        targets = patchify.masked_normalized_targets(
+            tokens_pix,
+            masked_idx,
+            normalize_target=cfg.normalize_target,
+            compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
+        )
 
     weights = None
     if cfg.motion_loss_weight and loss_weight is not None:
