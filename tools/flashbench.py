@@ -28,12 +28,12 @@ def attn_flops(b, n, heads, d, bwd=False):
 
 def timed(fn, args, k):
     f = jax.jit(fn)
-    s = jnp.float32(1.0)
+    s = jnp.bfloat16(1.0)  # keep q*s in bf16 — f32 doubles kernel VMEM
     out = f(s, *args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(k):
-        s = 1.0 + out * 1e-12
+        s = jnp.bfloat16(1.0) + out.astype(jnp.bfloat16) * jnp.bfloat16(1e-12)
         out = f(s, *args)
     float(out)
     return (time.perf_counter() - t0) / k * 1e3
