@@ -31,6 +31,9 @@ from mofo_tpu.core.config import FinetuneConfig, MeshSpec, OptimizerConfig
 def get_args(argv=None, bb_defaults: bool = False):
     p = argparse.ArgumentParser("MOFO-TPU finetuning", add_help=True)
     p.add_argument("--batch_size", default=10, type=int)
+    # decode thread-pool size per host (reference DataLoader
+    # num_workers=4, run_class_finetuning.py)
+    p.add_argument("--num_workers", default=1, type=int)
     p.add_argument("--epochs", default=100, type=int)
     p.add_argument("--update_freq", default=1, type=int)
     p.add_argument("--save_ckpt_freq", default=10, type=int)
@@ -308,11 +311,13 @@ def main(args=None):
     train_loader = P.PrefetchLoader(
         train_ds, per_host, train_sampler,
         sharding=mesh_lib.batch_sharding(mesh),
+        num_workers=args.num_workers,
     )
     val_loader = P.PrefetchLoader(
         val_ds, per_host,
         P.ShardedSampler(len(val_ds), rank, world, shuffle=False),
         sharding=mesh_lib.batch_sharding(mesh), drop_last=False,
+        num_workers=args.num_workers,
     )
     steps_per_epoch = max(len(train_loader), 1)
 
@@ -564,12 +569,13 @@ def main(args=None):
         model, state.params, test_ds, cfg, mesh,
         bb_focused=bb_focused, log=log, per_host=per_host,
         action_to_vn=action_to_vn if args.classtype == "action" else None,
+        num_workers=args.num_workers,
     )
     return state
 
 
 def final_test(model, params, test_ds, cfg, mesh, bb_focused, log,
-               per_host, action_to_vn=None):
+               per_host, action_to_vn=None, num_workers: int = 1):
     """Multi-view test: iterate (chunk, crop) expanded views, aggregate
     softmax-mean per video."""
     from mofo_tpu.data import pipeline as P
@@ -584,6 +590,7 @@ def final_test(model, params, test_ds, cfg, mesh, bb_focused, log,
         test_ds, per_host,
         P.ShardedSampler(len(test_ds), rank, world, shuffle=False),
         sharding=mesh_lib.batch_sharding(mesh), drop_last=False,
+        num_workers=num_workers,
     )
     eval_fn = jax.jit(make_eval_step(model, cfg, bb_focused=bb_focused))
 

@@ -703,7 +703,8 @@ class PatchEmbed(nn.Module):
             import os
 
             B, T, H, W, C = x.shape
-            if os.environ.get("MOFO_EMBED_CONV") == "1":
+            mode = os.environ.get("MOFO_EMBED_CONV")
+            if mode == "1":
                 kdhwio = kernel.reshape(
                     p0, p, p, self.in_chans, self.embed_dim
                 )
@@ -713,6 +714,21 @@ class PatchEmbed(nn.Module):
                     window_strides=(p0, p, p),
                     padding="VALID",
                     dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                    preferred_element_type=self.dtype,
+                )  # (B, t, h, w, D)
+                y = y.reshape(B, self.num_patches, self.embed_dim)
+                return y + bias.astype(self.dtype)
+            if mode == "dotg":
+                # multi-contracting-dim dot_general on the strided 8-D
+                # view — lets XLA pick the relayout instead of our
+                # explicit transpose
+                t, h, w = T // p0, H // p, W // p
+                x8 = x.reshape(B, t, p0, h, p, w, p, C)
+                k5 = kernel.reshape(p0, p, p, self.in_chans,
+                                    self.embed_dim)
+                y = jax.lax.dot_general(
+                    x8.astype(self.dtype), k5.astype(self.dtype),
+                    (((2, 4, 6, 7), (0, 1, 2, 3)), ((), ())),
                     preferred_element_type=self.dtype,
                 )  # (B, t, h, w, D)
                 y = y.reshape(B, self.num_patches, self.embed_dim)

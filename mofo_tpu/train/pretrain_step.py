@@ -87,12 +87,14 @@ def _loss_for_batch(
     bf16 = cfg.dtype == "bfloat16"
     import os
 
-    if os.environ.get("MOFO_EMBED_CONV") == "1":
+    if os.environ.get("MOFO_EMBED_CONV") in ("1", "dotg"):
         # experiment: skip the token-major transpose entirely — the
-        # model embeds via lax.conv on the raw clip and targets gather
+        # model embeds via lax.conv ("1") or a multi-contracting-dim
+        # dot_general ("dotg") on the raw clip and targets gather
         # masked patch pixels straight from (B, T, H, W, C). MEASURED
-        # DEAD END on v5e (171.5 vs 129.7 ms full step) — see
-        # models/layers.PatchEmbed; kept for future hardware A/Bs.
+        # DEAD END on v5e (171.5 / 168.4 vs 129.6 ms full step; the
+        # (2,16,16,3)-slice gather itself is the dominant cost) — kept
+        # for future hardware A/Bs.
         tokens_pix = clip.astype(jnp.bfloat16) if bf16 else clip
         g_rows = patchify.masked_pixel_patches(
             tokens_pix, masked_idx,
@@ -108,6 +110,11 @@ def _loss_for_batch(
             clip.astype(jnp.bfloat16) if bf16 else clip,
             patch_size=cfg.patch_size, tubelet_size=cfg.tubelet_size
         )
+        if os.environ.get("MOFO_PATCHIFY_BARRIER") == "1":
+            # experiment: pin the token-major tensor to one canonical
+            # layout so XLA's layout assignment stops chaining relayout
+            # copies between the transpose and its two consumers
+            tokens_pix = jax.lax.optimization_barrier(tokens_pix)
         # (measured: fusing the target normalization into the loss via
         # masked_target_stats/masked_norm_mse_loss regressed 131.2 ->
         # 134.7 ms — materialized bf16 targets win; the stats path stays

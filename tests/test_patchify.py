@@ -159,3 +159,39 @@ class TestMaskedNormalizedTargets:
         a = np.asarray(patchify.patchify_flat(clip))
         b = np.asarray(patchify.patchify(clip))
         np.testing.assert_array_equal(a, b.reshape(a.shape))
+
+    def test_bf16_targets_close_to_f32(self):
+        """The bf16 fast path (bf16 patchify transpose + bf16 gather +
+        f32-accumulated stats) must stay within bf16 noise of the exact
+        f32 targets — the pretrain step uses it for every bf16 run."""
+        rng = np.random.RandomState(11)
+        clip = jnp.asarray(
+            rng.rand(2, 4, 64, 64, 3).astype(np.float32) * 2.0 - 0.5
+        )
+        idx = jnp.asarray([[0, 3, 7, 12], [1, 5, 9, 15]], jnp.int32)
+        exact = np.asarray(
+            patchify.masked_normalized_targets(
+                patchify.patchify_flat(clip), idx
+            )
+        )
+        fast = np.asarray(
+            patchify.masked_normalized_targets(
+                patchify.patchify_flat(clip.astype(jnp.bfloat16)),
+                idx, compute_dtype=jnp.bfloat16,
+            )
+        ).astype(np.float32)
+        # normalized targets are ~N(0,1); bf16 pixel rounding plus the
+        # bf16 stat broadcast keeps the error at the few-percent level
+        err = np.abs(fast - exact)
+        assert np.median(err) < 0.02, np.median(err)
+        assert np.percentile(err, 99) < 0.2, np.percentile(err, 99)
+
+    def test_masked_pixel_patches_matches_flat_gather(self):
+        rng = np.random.RandomState(12)
+        clip = jnp.asarray(rng.rand(2, 4, 32, 32, 3).astype(np.float32))
+        idx = jnp.asarray([[0, 3, 5, 7], [1, 2, 6, 7]], jnp.int32)
+        a = np.asarray(jnp.take_along_axis(
+            patchify.patchify_flat(clip), idx[..., None], axis=1
+        ))
+        b = np.asarray(patchify.masked_pixel_patches(clip, idx))
+        np.testing.assert_array_equal(a, b)
