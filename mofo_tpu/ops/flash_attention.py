@@ -498,6 +498,7 @@ def _mh_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, ld_ref,
             )
             lse = ld_ref[0, qi, h]
             delta = ld_ref[0, qi, heads + h]
+            # (bf16 exp measured identical to f32 exp — Mosaic upcasts)
             p = jnp.exp(s - lse[:, None])
             dv_acc[h] = dv_acc[h] + jax.lax.dot_general(
                 p.astype(doh.dtype), doh, (((0,), (0,)), ((), ())),

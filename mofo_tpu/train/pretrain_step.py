@@ -110,11 +110,8 @@ def _loss_for_batch(
             clip.astype(jnp.bfloat16) if bf16 else clip,
             patch_size=cfg.patch_size, tubelet_size=cfg.tubelet_size
         )
-        if os.environ.get("MOFO_PATCHIFY_BARRIER") == "1":
-            # experiment: pin the token-major tensor to one canonical
-            # layout so XLA's layout assignment stops chaining relayout
-            # copies between the transpose and its two consumers
-            tokens_pix = jax.lax.optimization_barrier(tokens_pix)
+        # (an optimization_barrier here — to pin one canonical layout —
+        # measured no change: 129.7 ms either way)
         # (measured: fusing the target normalization into the loss via
         # masked_target_stats/masked_norm_mse_loss regressed 131.2 ->
         # 134.7 ms — materialized bf16 targets win; the stats path stays
