@@ -567,10 +567,11 @@ def _mh_fwd_impl(q, k, v, scale, heads, interpret):
             ],
             # divisor q-blocks (e.g. 392 at the 1568-token decoder)
             # carry larger f32 score transients than the old padded-256
-            # blocks; the default 16M scoped-vmem budget is ~150K short
-            # (more for oversized experiment blocks)
+            # blocks, and the lookahead-1 score pipeline keeps TWO live
+            # f32 (bq, Nk) tiles: the 12-head finetune geometry needs
+            # 58.4M (measured OOM at the old 48M limit)
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=(48 if bq > 512 else 24) * 1024 * 1024
+                vmem_limit_bytes=(80 if bq > 512 else 24) * 1024 * 1024
             ),
             interpret=interpret,
         )(qp, kp, vp)
@@ -647,9 +648,14 @@ def _mh_bwd_impl(q, k, v, out, lse, do, scale, heads, interpret):
             scratch_shapes=[pltpu.VMEM((n_pad, A), jnp.float32)],
             # the unrolled (q-block x head) loop carries long-lived f32
             # accumulators; the default 16M scoped-vmem budget is ~2M
-            # short at the ViT-B decoder shape (larger blocks need more)
+            # short at the ViT-B decoder shape. The 12-head finetune
+            # geometry measures 98.9M of scoped stack (Mosaic does not
+            # fully reuse buffers across the unrolled head loop) —
+            # budget by head count.
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=(64 if bq > 512 else 32) * 1024 * 1024
+                vmem_limit_bytes=(
+                    (100 if heads > 8 else 64) if bq > 512 else 32
+                ) * 1024 * 1024
             ),
             interpret=interpret,
         )(qp, kp, vp, dop, ld))
