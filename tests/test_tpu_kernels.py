@@ -114,3 +114,40 @@ def test_headmajor_gradients_on_chip():
             np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3,
             err_msg=f"d{name} mismatch",
         )
+
+
+def test_mh_12head_finetune_geometry_on_chip():
+    """The 12-head 1568-token classifier geometry: its Mosaic stack
+    needs the head-count-aware VMEM budgets (fwd 58.4M / bwd 98.9M
+    measured) — a budget regression OOMs only on real hardware."""
+    H12 = 12
+    q, k, v = (
+        _rand((B, N, H12 * HD), s).astype(jnp.bfloat16)
+        for s in (9, 10, 11)
+    )
+
+    def loss_mh(q, k, v):
+        out = flash_attention_mh(
+            q, k, v, scale=SCALE, num_heads=H12, interpret=False
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+        to4 = lambda t: t.reshape(B, N, H12, HD).transpose(0, 2, 1, 3)
+        o = xla_attention(to4(q), to4(k), to4(v), scale=SCALE)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    ours, ours_g = jax.jit(jax.value_and_grad(loss_mh, argnums=(0,)))(
+        q, k, v
+    )
+    ref, ref_g = jax.jit(jax.value_and_grad(loss_ref, argnums=(0,)))(
+        q, k, v
+    )
+    np.testing.assert_allclose(
+        float(ours), float(ref), rtol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours_g[0], np.float32),
+        np.asarray(ref_g[0], np.float32),
+        atol=0.1, rtol=0.1,
+    )
