@@ -134,8 +134,13 @@ def _loss_for_batch(
             patches_per_side=cfg.input_size // cfg.patch_size,
             patch_size=cfg.patch_size,
         )
-        in_masked = jnp.take_along_axis(in_map, masked_idx, axis=1)
-        weights = 1.0 + loss_weight * in_masked.astype(jnp.float32)
+        # gather in f32, not bool: the boolean gather showed 0.7 ms of
+        # device time in the trace (full-step delta is noise-level —
+        # it overlaps — but the f32 gather is never slower)
+        in_masked = jnp.take_along_axis(
+            in_map.astype(jnp.float32), masked_idx, axis=1
+        )
+        weights = 1.0 + loss_weight * in_masked
 
     pred = model.apply(
         {"params": params},
