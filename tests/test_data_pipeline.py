@@ -263,3 +263,22 @@ class TestMultiProcessFeeding:
             assert v.shape[0] == 8
             assert v.sharding.is_equivalent_to(sharding, v.ndim)
             np.testing.assert_array_equal(np.asarray(v), expect[k])
+
+
+class TestWorkerPool:
+    def test_threaded_decode_matches_serial(self):
+        """num_workers > 1 must yield identical batches to serial
+        fetch (thread pool is order-preserving via map)."""
+        from mofo_tpu.data.pipeline import (
+            PrefetchLoader, SyntheticClipDataset,
+        )
+
+        ds = SyntheticClipDataset(n=8, num_frames=2, decode_size=(16, 20))
+        serial = list(PrefetchLoader(ds, 4, to_device=False,
+                                     num_workers=1))
+        pooled = list(PrefetchLoader(ds, 4, to_device=False,
+                                     num_workers=3))
+        assert len(serial) == len(pooled) == 2
+        for a, b in zip(serial, pooled):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])

@@ -195,3 +195,27 @@ class TestMaskedNormalizedTargets:
         ))
         b = np.asarray(patchify.masked_pixel_patches(clip, idx))
         np.testing.assert_array_equal(a, b)
+
+    def test_target_stats_loss_equals_materialized(self):
+        """masked_target_stats + masked_norm_mse_loss (the fused-loss
+        variant kept in the library) must equal materialized targets +
+        masked_mse_loss, weighted and unweighted."""
+        rng = np.random.RandomState(13)
+        clip = jnp.asarray(
+            rng.rand(2, 4, 64, 64, 3).astype(np.float32) * 2.0 - 0.5
+        )
+        idx = jnp.asarray([[0, 3, 7, 12], [1, 5, 9, 15]], jnp.int32)
+        pred = jnp.asarray(
+            rng.randn(2, 4, 1536).astype(np.float32) * 0.1
+        )
+        tokens = patchify.patchify_flat(clip)
+        targets = patchify.masked_normalized_targets(tokens, idx)
+        g, mu, denom = patchify.masked_target_stats(tokens, idx)
+        for w in (None, jnp.asarray(rng.rand(2, 4), jnp.float32)):
+            a = float(patchify.masked_mse_loss(pred, targets, weights=w))
+            b = float(
+                patchify.masked_norm_mse_loss(
+                    pred, g, mu, denom, weights=w
+                )
+            )
+            np.testing.assert_allclose(a, b, rtol=1e-5)
