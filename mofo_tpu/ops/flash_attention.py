@@ -571,7 +571,10 @@ def _mh_fwd_impl(q, k, v, scale, heads, interpret):
             # f32 (bq, Nk) tiles: the 12-head finetune geometry needs
             # 58.4M (measured OOM at the old 48M limit)
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=(80 if bq > 512 else 24) * 1024 * 1024
+                vmem_limit_bytes=(80 if bq > 512 else 24) * 1024 * 1024,
+                # every (batch, q-block) program is independent — let
+                # Mosaic pipeline DMA across both grid dims
+                dimension_semantics=("parallel", "parallel"),
             ),
             interpret=interpret,
         )(qp, kp, vp)
@@ -655,7 +658,10 @@ def _mh_bwd_impl(q, k, v, out, lse, do, scale, heads, interpret):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=(
                     (100 if heads > 8 else 64) if bq > 512 else 32
-                ) * 1024 * 1024
+                ) * 1024 * 1024,
+                # batch programs are independent; the kv-block dim is
+                # sequential (dq accumulates across it in VMEM scratch)
+                dimension_semantics=("parallel", "arbitrary"),
             ),
             interpret=interpret,
         )(qp, kp, vp, dop, ld))
