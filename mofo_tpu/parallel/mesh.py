@@ -140,6 +140,21 @@ def param_sharding_rules(params: Params, mesh: Mesh) -> Params:
 
 
 def shard_params(params: Params, mesh: Mesh) -> Params:
-    """Device_put params according to the sharding rules."""
+    """Place params according to the sharding rules.
+
+    Single-process: a plain device_put. Multi-process: device_put of a
+    host-local value onto a sharding spanning non-addressable devices is
+    invalid, so each process materializes its addressable shards from its
+    (identical, same-PRNG-init) host copy via make_array_from_callback —
+    the standard multi-host parameter placement recipe.
+    """
     shardings = param_sharding_rules(params, mesh)
+    if jax.process_count() > 1:
+        def put(x, s):
+            host = np.asarray(x)
+            return jax.make_array_from_callback(
+                host.shape, s, lambda idx: host[idx]
+            )
+
+        return jax.tree.map(put, params, shardings)
     return jax.tree.map(jax.device_put, params, shardings)
