@@ -300,13 +300,12 @@ class Attention(nn.Module):
                 qkv = qkv + bias_flat
 
         if use_flat:
-            from mofo_tpu.ops.flash_attention import flash_attention_mh
+            from mofo_tpu.ops.flash_attention import flash_attention_qkv
 
-            q = qkv[:, :, :all_head_dim]
-            k = qkv[:, :, all_head_dim:2 * all_head_dim]
-            v = qkv[:, :, 2 * all_head_dim:]
-            out = flash_attention_mh(
-                q, k, v, scale=scale, num_heads=self.num_heads
+            # the kernel reads q/k/v straight out of the fused qkv via
+            # BlockSpec views — no slice copies fwd, no concat bwd
+            out = flash_attention_qkv(
+                qkv, scale=scale, num_heads=self.num_heads
             )  # (B, N, H*Dh) — already projection-ready
         else:
             # head-major path: the flat qkv above then reshape+transpose

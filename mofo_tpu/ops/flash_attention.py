@@ -705,3 +705,274 @@ def flash_attention_mh(
         interpret = not _on_tpu()
     assert q.shape[-1] % num_heads == 0, (q.shape, num_heads)
     return _mh_flash(q, k, v, scale, num_heads, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Fused-qkv interface: the kernels read q/k/v directly out of the (B, N, 3A)
+# tensor the qkv projection produces, via three BlockSpec views with
+# different minor-dim block indices (A is a multiple of 128, so the minor
+# tiling is legal). This deletes three XLA ops the (q, k, v) interface
+# forced at the ViT-B geometry (measured in the step trace):
+#   - fwd: the strided q/k/v slice copies (2.1 ms/step decoder alone);
+#   - bwd: the f32 delta = sum(do*out) chain XLA scheduled as a full-size
+#     f32 multiply + N-minor layout copy per block (~3.5 ms/step) — delta
+#     is now a per-head lane reduction inside the kernel;
+#   - bwd: the dq/dk/dv -> dqkv concat (the backward writes one fused
+#     (B, N, 3A) cotangent; each program covers full rows since the
+#     single-kv-block form fits VMEM at MOFO sequence lengths).
+# ---------------------------------------------------------------------------
+
+
+def _qkv_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                    dqkv_ref, *, scale, n_valid, heads, bq):
+    # grid (B,): one program per batch element, full rows; kv in one
+    # block. q/k/v: (1, n_pad, A) views of the fused qkv; do, o:
+    # (1, n_pad, A); lse: (1, nq, H, 8, bq) — the forward's layout,
+    # consumed directly. dqkv: (1, n_pad, 3A): [0,A) dq, [A,2A) dk,
+    # [2A,3A) dv.
+    A = k_ref.shape[-1]
+    hd = A // heads
+    n_pad = k_ref.shape[1]
+    nq = n_pad // bq
+    kh_all = [k_ref[0][:, h * hd:(h + 1) * hd] for h in range(heads)]
+    khs_all = [kh * kh.dtype.type(scale) for kh in kh_all]
+    vh_all = [v_ref[0][:, h * hd:(h + 1) * hd] for h in range(heads)]
+    dk_acc = [jnp.zeros((n_pad, hd), jnp.float32) for _ in range(heads)]
+    dv_acc = [jnp.zeros((n_pad, hd), jnp.float32) for _ in range(heads)]
+
+    def score(qh, h):
+        s = jax.lax.dot_general(
+            qh, kh_all[h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, n_pad)
+        if n_valid is not None:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n_valid, s, _NEG_INF)
+        return s
+
+    for qi in range(nq):
+        qb = q_ref[0, pl.ds(qi * bq, bq), :]
+        dob = do_ref[0, pl.ds(qi * bq, bq), :]
+        ob = o_ref[0, pl.ds(qi * bq, bq), :]
+        qh_all = [
+            qb[:, h * hd:(h + 1) * hd] * qb.dtype.type(scale)
+            for h in range(heads)
+        ]
+        doh_all = [dob[:, h * hd:(h + 1) * hd] for h in range(heads)]
+        dq_pieces = []
+        # lookahead-1 software pipelining over heads, as in
+        # _mh_dqkv_kernel: the MXU runs head h+1's score matmul while
+        # the VPU does head h's exp / ds work
+        s_next = score(qh_all[0], 0)
+        for h in range(heads):
+            s = s_next
+            if h + 1 < heads:
+                s_next = score(qh_all[h + 1], h + 1)
+            doh = doh_all[h]
+            # in-kernel delta: one per-head (bq, hd) f32 product + lane
+            # reduction replaces the XLA-side full-size f32 multiply +
+            # layout copy per block. bf16 products with f32 accumulation
+            # match the precision of every other matmul in this kernel.
+            oh = ob[:, h * hd:(h + 1) * hd]
+            delta = jnp.sum(
+                doh.astype(jnp.float32) * oh.astype(jnp.float32), axis=1
+            )  # (bq,)
+            # padded q rows carry +inf lse (masked in _qkv_bwd_impl on
+            # the small lse tensor), so their p — and every contribution
+            # they make — is exactly zero
+            lse = lse_ref[0, qi, h, 0]
+            dp = jax.lax.dot_general(
+                doh, vh_all[h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            p = jnp.exp(s - lse[:, None])  # padded q rows -> exactly 0
+            dv_acc[h] = dv_acc[h] + jax.lax.dot_general(
+                p.astype(doh.dtype), doh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = (p * (dp - delta[:, None])).astype(qb.dtype)
+            dk_acc[h] = dk_acc[h] + jax.lax.dot_general(
+                ds, qh_all[h], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dq_pieces.append(jax.lax.dot_general(
+                ds, khs_all[h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        dq_blk = jnp.concatenate(dq_pieces, axis=-1)  # (bq, A) f32
+        dqkv_ref[0, pl.ds(qi * bq, bq), pl.ds(0, A)] = dq_blk.astype(
+            dqkv_ref.dtype
+        )
+    for h in range(heads):
+        dqkv_ref[0, :, pl.ds(A + h * hd, hd)] = dk_acc[h].astype(
+            dqkv_ref.dtype
+        )
+        dqkv_ref[0, :, pl.ds(2 * A + h * hd, hd)] = dv_acc[h].astype(
+            dqkv_ref.dtype
+        )
+
+
+def _qkv_fwd_impl(qkv, scale, heads, interpret):
+    """qkv: (B, N, 3A). Returns (out, lse (B, nq, H, 8, bq))."""
+    B, N, A3 = qkv.shape
+    A = A3 // 3
+    bq = _block_for(N)
+    n_pad = -(-N // bq) * bq
+    n_valid = N if n_pad != N else None
+    qkvp = _pad_to(qkv, n_pad, 1)
+    nq = n_pad // bq
+
+    def call(qkvp):
+        b = qkvp.shape[0]  # LOCAL batch under SPMD partitioning
+        out, lse = pl.pallas_call(
+            functools.partial(
+                _mh_fwd_kernel, scale=scale, n_valid=n_valid, heads=heads
+            ),
+            grid=(b, nq),
+            in_specs=[
+                # three views of the one fused tensor: the minor dim is
+                # blocked in units of A, index 0/1/2 selects q/k/v
+                pl.BlockSpec((1, bq, A), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 1),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 2),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bq, A), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, heads, 8, bq),
+                             lambda b, i: (b, i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, n_pad, A), qkvp.dtype),
+                jax.ShapeDtypeStruct((b, nq, heads, 8, bq), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=(80 if bq > 512 else 24) * 1024 * 1024,
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            interpret=interpret,
+        )(qkvp, qkvp, qkvp)
+        return out, lse
+
+    out, lse = batch_dim0_call(call, qkvp)
+    return out[:, :N], lse
+
+
+def _qkv_bwd_impl(qkv, out, lse, do, scale, heads, interpret):
+    B, N, A3 = qkv.shape
+    A = A3 // 3
+    bq = _block_for(N)
+    n_pad = -(-N // bq) * bq
+    if (
+        n_pad > 2048
+        or heads > 8
+        or (qkv.dtype != jnp.bfloat16 and not interpret)
+    ):
+        # Blocked fallback for (a) long sequences (32-frame / 384px
+        # variants), (b) many-head geometries (the 12-head 1568-token
+        # classifier measures 162.5M of Mosaic stack in the
+        # single-kv-block form — Mosaic does not reuse buffers across
+        # the unrolled head loop — vs the 128M chip VMEM), and (c) f32
+        # callers (the bit-parity --dtype float32 path; f32 doubles the
+        # transients, 124.3M at 6 heads). Runs the blocked kernels on
+        # slices and concatenates.
+        q = qkv[:, :, :A]
+        k = qkv[:, :, A:2 * A]
+        v = qkv[:, :, 2 * A:]
+        dq, dk, dv = _mh_bwd_impl(
+            q, k, v, out, lse, do, scale, heads, interpret
+        )
+        return jnp.concatenate([dq, dk, dv], axis=-1)
+    n_valid = N if n_pad != N else None
+    qkvp = _pad_to(qkv, n_pad, 1)
+    outp = _pad_to(out, n_pad, 1)
+    dop = _pad_to(do, n_pad, 1)
+    if n_valid is not None:
+        # +inf lse on padded q rows zeroes their contribution in-kernel
+        # (a tiny (B, nq, H, 8, bq) tensor — negligible XLA-side work)
+        nq = n_pad // bq
+        row = (jnp.arange(n_pad).reshape(nq, 1, 1, bq))[None]
+        lse = jnp.where(row < N, lse, jnp.inf)
+
+    def call(qkvp, outp, dop, lse):
+        b = qkvp.shape[0]  # LOCAL batch under SPMD partitioning
+        return pl.pallas_call(
+            functools.partial(
+                _qkv_bwd_kernel, scale=scale, n_valid=n_valid,
+                heads=heads, bq=bq,
+            ),
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, n_pad, A), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad, A), lambda b: (b, 0, 1),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad, A), lambda b: (b, 0, 2),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad, A), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad, A), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lse.shape[1], heads, 8, bq),
+                             lambda b: (b, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, n_pad, A3), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, n_pad, A3), qkvp.dtype),
+            compiler_params=pltpu.CompilerParams(
+                # measured Mosaic stack at the 6-head 1568-token decoder:
+                # 88.1M (the single-kv-block form trades grid steps for
+                # unrolled in-kernel loops, which Mosaic does not fully
+                # buffer-share)
+                vmem_limit_bytes=(
+                    (128 if heads > 8 else 100) if bq > 512 else 40
+                ) * 1024 * 1024,
+                dimension_semantics=("parallel",),
+            ),
+            interpret=interpret,
+        )(qkvp, qkvp, qkvp, dop, outp, lse)
+
+    dqkv = batch_dim0_call(call, qkvp, outp, dop, lse)
+    return dqkv[:, :N]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _qkv_flash(qkv, scale, heads, interpret):
+    out, _ = _qkv_fwd_impl(qkv, scale, heads, interpret)
+    return out
+
+
+def _qkv_flash_fwd(qkv, scale, heads, interpret):
+    out, lse = _qkv_fwd_impl(qkv, scale, heads, interpret)
+    return out, (qkv, out, lse)
+
+
+def _qkv_flash_bwd(scale, heads, interpret, res, do):
+    qkv, out, lse = res
+    return (_qkv_bwd_impl(qkv, out, lse, do, scale, heads, interpret),)
+
+
+_qkv_flash.defvjp(_qkv_flash_fwd, _qkv_flash_bwd)
+
+
+def flash_attention_qkv(
+    qkv: Array, *, scale: float, num_heads: int,
+    interpret: bool | None = None,
+) -> Array:
+    """Fused multihead attention straight from the fused qkv projection.
+
+    qkv: (B, N, 3*H*Dh) — [0,A) q, [A,2A) k, [2A,3A) v, exactly what the
+    fused qkv matmul produces. Returns (B, N, H*Dh), projection-ready.
+    Numerics are identical to flash_attention_mh on the slices; the
+    fused interface exists to delete the XLA-side slice/delta/concat
+    passes around the kernels (see the section comment above).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    assert qkv.shape[-1] % (3 * num_heads) == 0, (qkv.shape, num_heads)
+    return _qkv_flash(qkv, scale, num_heads, interpret)
