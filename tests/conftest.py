@@ -26,3 +26,10 @@ import jax
 
 if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end tests (multi-process "
+        "spawns, CLI e2e)"
+    )
