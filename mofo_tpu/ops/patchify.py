@@ -25,6 +25,12 @@ from mofo_tpu.core import constants
 Array = jax.Array
 
 
+def _wide(dtype) -> jnp.dtype:
+    """f32 accumulation dtype, except f64 inputs stay f64 (the x64
+    parity-artifact path must not round through f32)."""
+    return jnp.float64 if dtype == jnp.float64 else jnp.float32
+
+
 def patchify(
     clip: Array, patch_size: int = 16, tubelet_size: int = 2
 ) -> Array:
@@ -152,7 +158,7 @@ def masked_normalized_targets(
     # half the HBM traffic of an f32 upcast); all statistics accumulate
     # in f32 regardless (preferred_element_type on the selector matmuls)
     wdt = tokens_pix.dtype if tokens_pix.dtype == jnp.bfloat16 \
-        else jnp.float32
+        else _wide(tokens_pix.dtype)
     g = jnp.take_along_axis(
         tokens_pix, mask_indices[..., None], axis=1
     ).astype(wdt)  # (B, M, D)
@@ -181,7 +187,8 @@ def normalize_patch_rows(
     g (B, M, D), channel fastest (see masked_normalized_targets)."""
     D = g.shape[-1]
     npos = D // channels
-    wdt = g.dtype if g.dtype == jnp.bfloat16 else jnp.float32
+    acc = _wide(g.dtype)  # f32 accumulation; f64 callers stay f64
+    wdt = g.dtype if g.dtype == jnp.bfloat16 else acc
     g = g.astype(wdt)
     if input_normalized:
         s_vec = jnp.tile(jnp.asarray(std, wdt), npos)
@@ -196,10 +203,10 @@ def normalize_patch_rows(
         wdt,
     )
     sums = jnp.einsum("bmd,dc->bmc", g, sel,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=acc)
     sqs = jnp.einsum("bmd,dc->bmc",
-                     (g.astype(jnp.float32) * g).astype(wdt), sel,
-                     preferred_element_type=jnp.float32)
+                     (g.astype(acc) * g).astype(wdt), sel,
+                     preferred_element_type=acc)
     mu = sums / npos
     var = (sqs - npos * mu * mu) / (npos - 1)  # unbiased
     denom = jnp.sqrt(jnp.maximum(var, 0.0)) + 1e-6
@@ -212,15 +219,15 @@ def normalize_patch_rows(
     # tensors materialize in compute_dtype (bf16 in bf16 steps — the
     # per-channel stats are exact f32; only their D-wide broadcast
     # narrows), halving their HBM traffic.
-    fsel = sel.astype(jnp.float32)
+    fsel = sel.astype(acc)
     mu_d = jnp.einsum("bmc,dc->bmd", mu, fsel,
-                      preferred_element_type=jnp.float32
+                      preferred_element_type=acc
                       ).astype(compute_dtype)
     denom_d = jnp.einsum("bmc,dc->bmd", denom, fsel,
-                         preferred_element_type=jnp.float32
+                         preferred_element_type=acc
                          ).astype(compute_dtype)
-    out = ((g.astype(jnp.float32) - mu_d.astype(jnp.float32))
-           / denom_d.astype(jnp.float32))
+    out = ((g.astype(acc) - mu_d.astype(acc))
+           / denom_d.astype(acc))
     return out.astype(compute_dtype)
 
 
@@ -347,8 +354,9 @@ def masked_mse_loss(
     a loss_weight but ships with plain mean MSE — engine_for_pretraining.py:
     288-304; we expose the intended capability).
     """
-    err = jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32))
+    acc = _wide(jnp.result_type(pred.dtype, target.dtype))
+    err = jnp.square(pred.astype(acc) - target.astype(acc))
     if weights is None:
         return jnp.mean(err)
-    w = weights.astype(jnp.float32)[..., None]
+    w = weights.astype(acc)[..., None]
     return jnp.sum(err * w) / (jnp.sum(w) * err.shape[-1] + 1e-12)

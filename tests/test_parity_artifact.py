@@ -45,3 +45,44 @@ def test_parity_artifact_reduced():
         golden["forward_loss"]["ours_loss_f32"],
         rtol=1e-5,
     )
+
+
+CURVE_GOLDEN = os.path.join(
+    os.path.dirname(__file__), "golden", "parity_curve_reduced.json"
+)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.slow
+def test_loss_curve_parity(tmp_path):
+    """The north-star check: 25 FULL train steps (model fwd+bwd + AdamW
+    with reference decay grouping + per-step reference-twin masks,
+    jointly) must track the torch transcription of the reference engine
+    mechanics at float64. Runs in a subprocess because it needs
+    JAX_ENABLE_X64 (a startup flag)."""
+    import subprocess
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    out = tmp_path / "curve.json"
+    env = dict(os.environ)
+    env["JAX_ENABLE_X64"] = "1"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "parity_artifact.py"),
+         "--curve", "--out", str(out)],
+        env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    curve = json.load(open(out))["loss_curve"]
+    golden = json.load(open(CURVE_GOLDEN))["loss_curve"]
+    # parity vs the torch reference engine at f64
+    assert curve["max_rel_diff"] < 1e-6, curve["max_rel_diff"]
+    # regression pins on both sides of the recorded golden curve
+    np.testing.assert_allclose(
+        curve["ours_losses"], golden["ours_losses"], rtol=1e-7
+    )
+    np.testing.assert_allclose(
+        curve["torch_losses"], golden["torch_losses"], rtol=1e-7
+    )

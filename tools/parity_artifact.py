@@ -167,10 +167,195 @@ def loss_record(full: bool):
     }
 
 
+def curve_record(n_steps: int = 25):
+    """TRAINING-LOSS-CURVE parity: K full train steps (model fwd+bwd +
+    AdamW with the reference decay grouping + per-step reference-twin
+    masks, all jointly) vs the torch transcription driving the reference
+    engine mechanics (engine_for_pretraining.py:29-196 loss/backward/
+    step, utils.py:391-408 scaler-less path, optim_factory.py:37-71
+    param groups). Both sides run float64 — requires JAX_ENABLE_X64=1.
+
+    This is the north-star check the single-forward record cannot give:
+    a drift anywhere in gradients, optimizer mechanics, schedules, or
+    masking compounds over steps and shows up in the curve.
+    """
+    import jax
+
+    assert jax.config.jax_enable_x64, "run with JAX_ENABLE_X64=1"
+    import jax.numpy as jnp
+    import optax
+    import torch
+    from einops import rearrange
+
+    import torch_ref
+    from mofo_tpu.models import create_model
+    from mofo_tpu.ops import masking, patchify
+    from mofo_tpu.ops.masking import TubeMaskingGeneratorNumpy
+    from mofo_tpu.train import optim as optim_lib
+
+    geom = dict(img=32, frames=4, enc_dim=64, enc_depth=2, enc_heads=2,
+                dec_dim=32, dec_depth=2, dec_heads=2)
+    patch, tub = 16, 2
+    hp = geom["img"] // patch
+    tp = geom["frames"] // tub
+    dec_classes = tub * patch * patch * 3
+    base_lr, min_lr, warmup, epochs, spe = 1.5e-3, 1e-5, 1, 5, 5
+    wd, betas, eps = 0.05, (0.9, 0.95), 1e-8
+
+    from mofo_tpu.train import schedules
+
+    lr_arr = np.asarray(
+        schedules.cosine_schedule(base_lr, min_lr, epochs, spe, warmup),
+        np.float64,
+    )
+
+    model = create_model(
+        "pretrain_videomae_base_patch16_224",
+        img_size=geom["img"], num_frames=geom["frames"],
+        encoder_embed_dim=geom["enc_dim"], encoder_depth=geom["enc_depth"],
+        encoder_num_heads=geom["enc_heads"],
+        decoder_embed_dim=geom["dec_dim"], decoder_depth=geom["dec_depth"],
+        decoder_num_heads=geom["dec_heads"],
+        decoder_num_classes=dec_classes, dtype=jnp.float64,
+    )
+
+    # per-step reference-twin masks and clips, identical on both sides
+    np.random.seed(0)
+    gen = TubeMaskingGeneratorNumpy((tp, hp, hp), 0.5)
+    masks_np = [gen() for _ in range(n_steps)]
+    n_masked = int(masks_np[0].sum())
+    clips_np = [
+        np.random.RandomState(2000 + s).randn(
+            2, geom["frames"], geom["img"], geom["img"], 3
+        ).astype(np.float64) * 0.5
+        for s in range(n_steps)
+    ]
+
+    mask0 = jnp.asarray(np.stack([masks_np[0]] * 2), jnp.bool_)
+    vis0, msk0 = masking.mask_to_indices(mask0, n_masked)
+    params = model.init(
+        jax.random.PRNGKey(1), jnp.asarray(clips_np[0]), vis0, msk0
+    )["params"]
+    params = jax.tree.map(lambda x: x.astype(jnp.float64), params)
+    init_params = jax.tree.map(np.asarray, params)  # shared starting point
+
+    tx = optim_lib.create_optimizer(
+        params, lr_schedule=lr_arr, betas=betas, eps=eps,
+        weight_decay=wd,
+    )
+    opt_state = tx.init(params)
+
+    def loss_fn(params, clip, vis, msk):
+        pred = model.apply(
+            {"params": params}, clip, vis, msk, deterministic=True
+        )
+        tokens = patchify.patchify_flat(
+            clip, patch_size=patch, tubelet_size=tub
+        )
+        targets = patchify.masked_normalized_targets(
+            tokens, msk, normalize_target=True,
+            compute_dtype=jnp.float64,
+        )
+        return patchify.masked_mse_loss(pred, targets)
+
+    @jax.jit
+    def train_step(params, opt_state, clip, vis, msk):
+        loss, grads = jax.value_and_grad(loss_fn)(params, clip, vis, msk)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    ours_losses = []
+    for s in range(n_steps):
+        mask = jnp.asarray(np.stack([masks_np[s]] * 2), jnp.bool_)
+        vis, msk = masking.mask_to_indices(mask, n_masked)
+        params, opt_state, loss = train_step(
+            params, opt_state, jnp.asarray(clips_np[s]), vis, msk
+        )
+        ours_losses.append(float(loss))
+
+    # ---- torch transcription of the reference engine mechanics
+    ref = torch_ref.RefPretrain(
+        img_size=geom["img"], patch_size=patch,
+        enc_dim=geom["enc_dim"], enc_depth=geom["enc_depth"],
+        enc_heads=geom["enc_heads"], dec_dim=geom["dec_dim"],
+        dec_depth=geom["dec_depth"], dec_heads=geom["dec_heads"],
+        dec_classes=dec_classes, num_frames=geom["frames"],
+        tubelet_size=tub,
+    )
+    # load the SAME f64 init (identical starting point)
+    torch_ref.load_pretrain(ref, init_params)
+    ref = ref.double().train()
+    # reference param grouping (optim_factory.py:37-71): no decay for
+    # ndim<=1, .bias, and the skip list — the exact rule decay_mask
+    # mirrors
+    skip = {"pos_embed", "cls_token", "mask_token"}
+    decay, no_decay = [], []
+    for name, p in ref.named_parameters():
+        leaf = name.split(".")[-1]
+        if p.ndim <= 1 or name.endswith(".bias") or leaf in skip:
+            no_decay.append(p)
+        else:
+            decay.append(p)
+    opt = torch.optim.AdamW(
+        [{"params": decay, "weight_decay": wd},
+         {"params": no_decay, "weight_decay": 0.0}],
+        lr=float(lr_arr[0]), betas=betas, eps=eps,
+    )
+    mean_t = torch.tensor([0.485, 0.456, 0.406]).double()[
+        None, :, None, None, None]
+    std_t = torch.tensor([0.229, 0.224, 0.225]).double()[
+        None, :, None, None, None]
+    ref_losses = []
+    for s in range(n_steps):
+        for g in opt.param_groups:
+            g["lr"] = float(lr_arr[s])  # per-step LR assignment
+        clip_t = torch.from_numpy(
+            np.transpose(clips_np[s], (0, 4, 1, 2, 3))
+        ).double()
+        mask_t = torch.from_numpy(
+            np.stack([masks_np[s]] * 2).astype(bool)
+        )
+        with torch.no_grad():
+            unnorm = clip_t * std_t + mean_t
+            sq = rearrange(
+                unnorm,
+                "b c (t p0) (h p1) (w p2) -> b (t h w) (p0 p1 p2) c",
+                p0=tub, p1=patch, p2=patch,
+            )
+            norm = (sq - sq.mean(dim=-2, keepdim=True)) / (
+                sq.var(dim=-2, unbiased=True, keepdim=True).sqrt() + 1e-6
+            )
+            vp = rearrange(norm, "b n p c -> b n (p c)")
+            labels = vp[mask_t].reshape(2, -1, vp.shape[-1])
+        out_t = ref(clip_t, mask_t)
+        loss_t = torch.nn.functional.mse_loss(out_t, labels)
+        opt.zero_grad()
+        loss_t.backward()
+        opt.step()
+        ref_losses.append(float(loss_t.item()))
+
+    rel = [
+        abs(a - b) / max(abs(b), 1e-12)
+        for a, b in zip(ours_losses, ref_losses)
+    ]
+    return {
+        "geometry": geom,
+        "n_steps": n_steps,
+        "weight_decay": wd,
+        "ours_losses": ours_losses,
+        "torch_losses": ref_losses,
+        "max_rel_diff": max(rel),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
                     help="full ViT-B geometry (slow on CPU)")
+    ap.add_argument("--curve", action="store_true",
+                    help="25-step training-loss-curve parity "
+                         "(requires JAX_ENABLE_X64=1)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--tpu", action="store_true",
                     help="run the flax side on the TPU backend")
@@ -182,6 +367,17 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if args.curve:
+        artifact = {"seed": 0, "loss_curve": curve_record()}
+        text = json.dumps(artifact, indent=1)
+        if args.out:
+            Path(args.out).write_text(text)
+            print(f"wrote {args.out}")
+        print(json.dumps(
+            {"curve_max_rel_diff": artifact["loss_curve"]["max_rel_diff"]}
+        ))
+        return
 
     t, h = (8, 14) if args.full else (2, 2)
     artifact = {
