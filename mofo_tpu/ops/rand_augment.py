@@ -17,10 +17,10 @@ Semantics preserved:
   - geometric fill color 128 (_FILL), PIL inverse-affine convention
 
 Approximations vs PIL (documented, covered by tolerance tests):
-  - geometric resampling is bilinear (the reference randomly picks
-    bilinear/bicubic per call)
   - equalize/autocontrast use exact histogram math but on float inputs
     rounded to uint8 bins
+(Geometric ops match the reference's per-call random bilinear/bicubic
+choice; bicubic is PIL transform's a=-1 kernel.)
 
 Input convention: clips (B, T, H, W, C) float32 in [0, 255].
 """
@@ -78,7 +78,7 @@ def _blend(img1: Array, img2: Array, factor: Array) -> Array:
     return jnp.clip(img1 + factor * (img2 - img1), 0.0, 255.0)
 
 
-def _op_autocontrast(img, level, neg):
+def _op_autocontrast(img, level, neg, interp=0):
     del level, neg
     # per frame, per channel min/max stretch (PIL cutoff=0)
     lo = jnp.min(img, axis=(1, 2), keepdims=True)
@@ -88,7 +88,7 @@ def _op_autocontrast(img, level, neg):
     return jnp.where(hi > lo, jnp.clip(out, 0, 255), img)
 
 
-def _op_equalize(img, level, neg):
+def _op_equalize(img, level, neg, interp=0):
     del level, neg
     # PIL equalize per frame per channel via histogram LUT:
     # step = (npixels - hist[-1]) // 255; lut[i] = (cumsum_before(i) +
@@ -129,14 +129,35 @@ def _op_equalize(img, level, neg):
     return jnp.where(step[:, None, None, :] > 0, out, img)
 
 
-def _op_invert(img, level, neg):
+def _op_invert(img, level, neg, interp=0):
     del level, neg
     return 255.0 - img
 
 
-def _affine_warp(img: Array, matrix: Tuple) -> Array:
+def _cubic_weights(t: Array):
+    """PIL TRANSFORM bicubic weights for the 4 taps at floor-relative
+    offsets (-1, 0, 1, 2); t in [0, 1) is the fractional coordinate.
+    geometry.c's affine bicubic uses the classic a = -1 kernel
+    (empirically verified against PIL; Resample.c's resize filter uses
+    a = -0.5, a different kernel)."""
+    a = -1.0
+
+    def k01(x):  # |x| <= 1
+        return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0
+
+    def k12(x):  # 1 < |x| < 2
+        return (((x - 5.0) * x + 8.0) * x - 4.0) * a
+
+    return k12(1.0 + t), k01(t), k01(1.0 - t), k12(2.0 - t)
+
+
+def _affine_warp(img: Array, matrix: Tuple,
+                 interp: Optional[Array] = None) -> Array:
     """PIL inverse-affine: out(x, y) = src(a*x + b*y + c, d*x + e*y + f),
-    bilinear, fill 128 outside."""
+    fill 128 outside. interp: None/0 -> bilinear; 1 -> PIL bicubic
+    (classic a = -1 kernel, 4x4 taps, clamped like PIL's uint8 store). A traced
+    interp computes both and selects — the reference picks
+    bilinear/bicubic per call at random (rand_augment.py:47,56-60)."""
     a, b, c, d, e, f = matrix
     T, H, W, C = img.shape
     ys, xs = jnp.meshgrid(
@@ -166,10 +187,23 @@ def _affine_warp(img: Array, matrix: Tuple) -> Array:
     wye = wy[None, :, :, None]
     top = tl * (1 - wxe) + tr * wxe
     bot = bl * (1 - wxe) + br * wxe
-    return top * (1 - wye) + bot * wye
+    bilinear = top * (1 - wye) + bot * wye
+    if interp is None:
+        return bilinear
+
+    wxc = [w[None, :, :, None] for w in _cubic_weights(wx)]
+    wyc = _cubic_weights(wy)
+    acc = jnp.zeros_like(bilinear)
+    for dy, wyk in zip((-1.0, 0.0, 1.0, 2.0), wyc):
+        row = jnp.zeros_like(bilinear)
+        for dx, wxk in zip((-1.0, 0.0, 1.0, 2.0), wxc):
+            row = row + sample(y0 + dy, x0 + dx) * wxk
+        acc = acc + row * wyk[None, :, :, None]
+    bicubic = jnp.clip(acc, 0.0, 255.0)  # PIL clamps on uint8 store
+    return jnp.where(jnp.asarray(interp) == 1, bicubic, bilinear)
 
 
-def _op_rotate(img, level, neg):
+def _op_rotate(img, level, neg, interp=0):
     # range [-30, 30] degrees; PIL rotate is counterclockwise about center
     deg = (level / MAX_LEVEL) * 30.0 * neg
     rad = deg * jnp.pi / 180.0  # inverse warp of a CCW rotation
@@ -181,10 +215,10 @@ def _op_rotate(img, level, neg):
     d, e = sin, cos
     c = cx - a * cx - b * cy
     f = cy - d * cx - e * cy
-    return _affine_warp(img, (a, b, c, d, e, f))
+    return _affine_warp(img, (a, b, c, d, e, f), interp)
 
 
-def _op_posterize(img, level, neg):
+def _op_posterize(img, level, neg, interp=0):
     del neg
     bits = 4 - jnp.floor(level / MAX_LEVEL * 4.0)
     shift = jnp.clip(8.0 - bits, 0, 8)
@@ -193,13 +227,13 @@ def _op_posterize(img, level, neg):
     return out
 
 
-def _op_solarize(img, level, neg):
+def _op_solarize(img, level, neg, interp=0):
     del neg
     thresh = 256.0 - jnp.floor(level / MAX_LEVEL * 256.0)
     return jnp.where(img < thresh, img, 255.0 - img)
 
 
-def _op_solarize_add(img, level, neg):
+def _op_solarize_add(img, level, neg, interp=0):
     del neg
     add = jnp.floor(level / MAX_LEVEL * 110.0)
     return jnp.where(img < 128.0, jnp.clip(img + add, 0, 255), img)
@@ -210,12 +244,12 @@ def _enhance_factor(level, neg):
     return 1.0 + neg * (level / MAX_LEVEL) * 0.9
 
 
-def _op_color(img, level, neg):
+def _op_color(img, level, neg, interp=0):
     gray = jnp.broadcast_to(_grayscale(img), img.shape)
     return _blend(gray, img, _enhance_factor(level, neg))
 
 
-def _op_contrast(img, level, neg):
+def _op_contrast(img, level, neg, interp=0):
     # PIL: mean of the L image, rounded; per frame
     gray = _grayscale(img)
     mean = jnp.floor(
@@ -226,11 +260,11 @@ def _op_contrast(img, level, neg):
     )
 
 
-def _op_brightness(img, level, neg):
+def _op_brightness(img, level, neg, interp=0):
     return _blend(jnp.zeros_like(img), img, _enhance_factor(level, neg))
 
 
-def _op_sharpness(img, level, neg):
+def _op_sharpness(img, level, neg, interp=0):
     # PIL SMOOTH kernel [[1,1,1],[1,5,1],[1,1,1]]/13 on the interior only
     k = jnp.asarray(
         [[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]]
@@ -247,26 +281,26 @@ def _op_sharpness(img, level, neg):
     return _blend(sm, img, _enhance_factor(level, neg))
 
 
-def _op_shear_x(img, level, neg):
+def _op_shear_x(img, level, neg, interp=0):
     v = (level / MAX_LEVEL) * 0.3 * neg
-    return _affine_warp(img, (1.0, v, 0.0, 0.0, 1.0, 0.0))
+    return _affine_warp(img, (1.0, v, 0.0, 0.0, 1.0, 0.0), interp)
 
 
-def _op_shear_y(img, level, neg):
+def _op_shear_y(img, level, neg, interp=0):
     v = (level / MAX_LEVEL) * 0.3 * neg
-    return _affine_warp(img, (1.0, 0.0, 0.0, v, 1.0, 0.0))
+    return _affine_warp(img, (1.0, 0.0, 0.0, v, 1.0, 0.0), interp)
 
 
-def _op_translate_x(img, level, neg):
+def _op_translate_x(img, level, neg, interp=0):
     W = img.shape[2]
     v = (level / MAX_LEVEL) * 0.45 * neg * W
-    return _affine_warp(img, (1.0, 0.0, v, 0.0, 1.0, 0.0))
+    return _affine_warp(img, (1.0, 0.0, v, 0.0, 1.0, 0.0), interp)
 
 
-def _op_translate_y(img, level, neg):
+def _op_translate_y(img, level, neg, interp=0):
     H = img.shape[1]
     v = (level / MAX_LEVEL) * 0.45 * neg * H
-    return _affine_warp(img, (1.0, 0.0, 0.0, 0.0, 1.0, v))
+    return _affine_warp(img, (1.0, 0.0, 0.0, 0.0, 1.0, v), interp)
 
 
 _OPS = (
@@ -359,14 +393,20 @@ def rand_augment_clip(
     out = clip
     H, W = clip.shape[1], clip.shape[2]
     for layer in range(num_layers):
-        rng, r_op, r_apply, r_mag, r_neg = jax.random.split(rng, 5)
+        rng, r_op, r_apply, r_mag, r_neg, r_interp = jax.random.split(
+            rng, 6
+        )
         op_idx = jax.random.randint(r_op, (), 0, len(_OPS))
         apply = jax.random.bernoulli(r_apply, prob)
         mag = magnitude + magnitude_std * jax.random.normal(r_mag)
         mag = jnp.clip(mag, 0.0, MAX_LEVEL)
         neg = jnp.where(jax.random.bernoulli(r_neg, 0.5), -1.0, 1.0)
+        # per-call bilinear/bicubic choice for the geometric ops,
+        # matching the reference's random.choice(_RANDOM_INTERPOLATION)
+        # (rand_augment.py:47,56-60); non-geometric ops ignore it
+        interp = jax.random.randint(r_interp, (), 0, 2)
         augmented = jax.lax.switch(
-            op_idx, list(_OPS), out, mag, neg
+            op_idx, list(_OPS), out, mag, neg, interp
         )
         out = jnp.where(apply, augmented, out)
         if boxes is not None:
