@@ -760,14 +760,25 @@ def _qkv_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         ]
         doh_all = [dob[:, h * hd:(h + 1) * hd] for h in range(heads)]
         dq_pieces = []
+
+        def dp_mm(h):
+            return jax.lax.dot_general(
+                doh_all[h], vh_all[h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
         # lookahead-1 software pipelining over heads, as in
-        # _mh_dqkv_kernel: the MXU runs head h+1's score matmul while
-        # the VPU does head h's exp / ds work
+        # _mh_dqkv_kernel, on BOTH independent matmuls (score and dp):
+        # the MXU runs head h+1's score+dp while the VPU does head h's
+        # exp / ds work
         s_next = score(qh_all[0], 0)
+        dp_next = dp_mm(0)
         for h in range(heads):
             s = s_next
+            dp = dp_next
             if h + 1 < heads:
                 s_next = score(qh_all[h + 1], h + 1)
+                dp_next = dp_mm(h + 1)
             doh = doh_all[h]
             # in-kernel delta: one per-head (bq, hd) f32 product + lane
             # reduction replaces the XLA-side full-size f32 multiply +
@@ -781,10 +792,6 @@ def _qkv_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
             # the small lse tensor), so their p — and every contribution
             # they make — is exactly zero
             lse = lse_ref[0, qi, h, 0]
-            dp = jax.lax.dot_general(
-                doh, vh_all[h], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
             p = jnp.exp(s - lse[:, None])  # padded q rows -> exactly 0
             dv_acc[h] = dv_acc[h] + jax.lax.dot_general(
                 p.astype(doh.dtype), doh, (((0,), (0,)), ((), ())),

@@ -124,11 +124,25 @@ def patchify_flat(
     B, T, H, W, C = clip.shape
     p0, p = tubelet_size, patch_size
     t, h, w = T // p0, H // p, W // p
-    # (measured: splitting this into two permutes with larger contiguous
-    # blocks compiles to the same schedule — XLA canonicalizes; 130.5 vs
-    # 130.2 ms full step)
-    x = clip.reshape(B, t, p0, h, p, w, p, C)
-    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # (B,t,h,w,p0,p1,p2,C)
+    # Formulation A/B'd on v5e at the ViT-B geometry (B=48 full step):
+    #   7-D with (p2, C) pre-merged   123.05 ms  <- default
+    #   8-D canonical                 124.0
+    #   (B, t) leading-merge 6-D      128.4
+    #   two-permute split (round 1)   130.5 vs 130.2 (same schedule)
+    # MOFO_PATCHIFY=8d/bt re-runs the alternatives.
+    import os
+
+    variant = os.environ.get("MOFO_PATCHIFY", "7d")
+    if variant == "bt":
+        x = clip.reshape(B * t, p0, h, p, w, p * C)
+        x = x.transpose(0, 2, 4, 1, 3, 5)  # (Bt,h,w,p0,p1,p2C)
+        return x.reshape(B, t * h * w, p0 * p * p * C)
+    if variant == "8d":
+        x = clip.reshape(B, t, p0, h, p, w, p, C)
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # (B,t,h,w,p0,p1,p2,C)
+        return x.reshape(B, t * h * w, p0 * p * p * C)
+    x = clip.reshape(B, t, p0, h, p, w, p * C)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6)  # (B,t,h,w,p0,p1,p2C)
     return x.reshape(B, t * h * w, p0 * p * p * C)
 
 

@@ -112,16 +112,25 @@ def _loss_for_batch(
         )
         # (an optimization_barrier here — to pin one canonical layout —
         # measured no change: 129.7 ms either way)
-        # (measured: fusing the target normalization into the loss via
-        # masked_target_stats/masked_norm_mse_loss regressed 131.2 ->
-        # 134.7 ms — materialized bf16 targets win; the stats path stays
-        # available)
-        targets = patchify.masked_normalized_targets(
-            tokens_pix,
-            masked_idx,
-            normalize_target=cfg.normalize_target,
-            compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
-        )
+        # (measured TWICE: fusing the target normalization into the loss
+        # via masked_target_stats/masked_norm_mse_loss regressed 131.2
+        # -> 134.7 ms in round 2 and 124.0 -> 127.8 with the round-3
+        # kernels — materialized bf16 targets win; MOFO_TARGET_STATS=1
+        # keeps the A/B runnable)
+        import os as _os
+
+        if _os.environ.get("MOFO_TARGET_STATS") == "1":
+            g_st, mu_st, den_st = patchify.masked_target_stats(
+                tokens_pix, masked_idx
+            )
+            targets = None
+        else:
+            targets = patchify.masked_normalized_targets(
+                tokens_pix,
+                masked_idx,
+                normalize_target=cfg.normalize_target,
+                compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
+            )
 
     weights = None
     if cfg.motion_loss_weight and loss_weight is not None:
@@ -152,6 +161,10 @@ def _loss_for_batch(
         if train
         else {},
     )
+    if targets is None:  # MOFO_TARGET_STATS=1 A/B path
+        return patchify.masked_norm_mse_loss(
+            pred, g_st, mu_st, den_st, weights=weights
+        )
     return patchify.masked_mse_loss(pred, targets, weights=weights)
 
 
