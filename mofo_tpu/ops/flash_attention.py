@@ -819,6 +819,94 @@ def _qkv_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         )
 
 
+def _qkv_bwd_kernel_houter(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                           dqkv_ref, *, scale, n_valid, heads, bq):
+    # Head-OUTER variant of _qkv_bwd_kernel for many-head geometries
+    # (the 12-head 1568-token classifier): the h-inner form keeps all
+    # heads' k/v slices and dk/dv accumulators live across the whole
+    # unrolled loop, which Mosaic does not buffer-share — 162.5M of
+    # stack at 12 heads vs the 128M chip VMEM. Looping heads outermost
+    # keeps one head's working set live (~40M at 12 heads); dq pieces
+    # are written straight into the fused output at per-head lane
+    # offsets, so nothing accumulates across heads. Software pipelining
+    # runs lookahead-1 over the flattened (head, q-block) sequence.
+    A = k_ref.shape[-1]
+    hd = A // heads
+    n_pad = k_ref.shape[1]
+    nq = n_pad // bq
+    qb_all = [q_ref[0, pl.ds(qi * bq, bq), :] for qi in range(nq)]
+    dob_all = [do_ref[0, pl.ds(qi * bq, bq), :] for qi in range(nq)]
+    ob_all = [o_ref[0, pl.ds(qi * bq, bq), :] for qi in range(nq)]
+
+    def sl(h):
+        return slice(h * hd, (h + 1) * hd)
+
+    def qh_of(h, qi):
+        qb = qb_all[qi]
+        return qb[:, sl(h)] * qb.dtype.type(scale)
+
+    def s_mm(h, qi):
+        s = jax.lax.dot_general(
+            qh_of(h, qi), k_ref[0][:, sl(h)], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, n_pad)
+        if n_valid is not None:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n_valid, s, _NEG_INF)
+        return s
+
+    def dp_mm(h, qi):
+        return jax.lax.dot_general(
+            dob_all[qi][:, sl(h)], v_ref[0][:, sl(h)],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    steps = [(h, qi) for h in range(heads) for qi in range(nq)]
+    s_next = s_mm(*steps[0])
+    dp_next = dp_mm(*steps[0])
+    dk_acc = dv_acc = None
+    for idx, (h, qi) in enumerate(steps):
+        s, dp = s_next, dp_next
+        if idx + 1 < len(steps):
+            s_next = s_mm(*steps[idx + 1])
+            dp_next = dp_mm(*steps[idx + 1])
+        if qi == 0:
+            dk_acc = jnp.zeros((n_pad, hd), jnp.float32)
+            dv_acc = jnp.zeros((n_pad, hd), jnp.float32)
+        doh = dob_all[qi][:, sl(h)]
+        oh = ob_all[qi][:, sl(h)]
+        delta = jnp.sum(
+            doh.astype(jnp.float32) * oh.astype(jnp.float32), axis=1
+        )  # (bq,)
+        lse = lse_ref[0, qi, h, 0]  # +inf on padded q rows
+        p = jnp.exp(s - lse[:, None])
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p.astype(doh.dtype), doh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - delta[:, None])).astype(doh.dtype)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, qh_of(h, qi), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        khs = k_ref[0][:, sl(h)]
+        khs = khs * khs.dtype.type(scale)
+        dq_piece = jax.lax.dot_general(
+            ds, khs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_ref[0, pl.ds(qi * bq, bq), pl.ds(h * hd, hd)] = \
+            dq_piece.astype(dqkv_ref.dtype)
+        if qi == nq - 1:
+            dqkv_ref[0, :, pl.ds(A + h * hd, hd)] = dk_acc.astype(
+                dqkv_ref.dtype
+            )
+            dqkv_ref[0, :, pl.ds(2 * A + h * hd, hd)] = dv_acc.astype(
+                dqkv_ref.dtype
+            )
+
+
 def _qkv_fwd_impl(qkv, scale, heads, interpret):
     """qkv: (B, N, 3A). Returns (out, lse (B, nq, H, 8, bq))."""
     B, N, A3 = qkv.shape
@@ -876,16 +964,12 @@ def _qkv_bwd_impl(qkv, out, lse, do, scale, heads, interpret):
     n_pad = -(-N // bq) * bq
     if (
         n_pad > 2048
-        or heads > 8
         or (qkv.dtype != jnp.bfloat16 and not interpret)
     ):
         # Blocked fallback for (a) long sequences (32-frame / 384px
-        # variants), (b) many-head geometries (the 12-head 1568-token
-        # classifier measures 162.5M of Mosaic stack in the
-        # single-kv-block form — Mosaic does not reuse buffers across
-        # the unrolled head loop — vs the 128M chip VMEM), and (c) f32
-        # callers (the bit-parity --dtype float32 path; f32 doubles the
-        # transients, 124.3M at 6 heads). Runs the blocked kernels on
+        # variants) and (b) f32 callers (the bit-parity --dtype float32
+        # path; f32 doubles the transients, 124.3M of Mosaic stack at 6
+        # heads vs the 128M chip VMEM). Runs the blocked kernels on
         # slices and concatenates.
         q = qkv[:, :, :A]
         k = qkv[:, :, A:2 * A]
@@ -905,11 +989,17 @@ def _qkv_bwd_impl(qkv, out, lse, do, scale, heads, interpret):
         row = (jnp.arange(n_pad).reshape(nq, 1, 1, bq))[None]
         lse = jnp.where(row < N, lse, jnp.inf)
 
+    # h-inner keeps every head's k/v slice + dk/dv accumulator live over
+    # the whole unrolled loop (measured 88.1M Mosaic stack at 6 heads,
+    # 162.5M at 12 — over the 128M chip VMEM); the h-outer variant keeps
+    # one head's working set live and fits many-head geometries.
+    kernel = _qkv_bwd_kernel if heads <= 8 else _qkv_bwd_kernel_houter
+
     def call(qkvp, outp, dop, lse):
         b = qkvp.shape[0]  # LOCAL batch under SPMD partitioning
         return pl.pallas_call(
             functools.partial(
-                _qkv_bwd_kernel, scale=scale, n_valid=n_valid,
+                kernel, scale=scale, n_valid=n_valid,
                 heads=heads, bq=bq,
             ),
             grid=(b,),
@@ -932,13 +1022,10 @@ def _qkv_bwd_impl(qkv, out, lse, do, scale, heads, interpret):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((b, n_pad, A3), qkvp.dtype),
             compiler_params=pltpu.CompilerParams(
-                # measured Mosaic stack at the 6-head 1568-token decoder:
-                # 88.1M (the single-kv-block form trades grid steps for
-                # unrolled in-kernel loops, which Mosaic does not fully
-                # buffer-share)
-                vmem_limit_bytes=(
-                    (128 if heads > 8 else 100) if bq > 512 else 40
-                ) * 1024 * 1024,
+                # measured Mosaic stack: h-inner 88.1M at the 6-head
+                # 1568-token decoder; h-outer stays far smaller (one
+                # head's working set)
+                vmem_limit_bytes=(100 if bq > 512 else 40) * 1024 * 1024,
                 dimension_semantics=("parallel",),
             ),
             interpret=interpret,

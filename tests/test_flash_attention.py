@@ -203,3 +203,29 @@ def test_qkv_long_seq_fallback_grads():
     np.testing.assert_allclose(
         np.asarray(g_ours), np.asarray(g_ref), atol=3e-5, rtol=3e-5
     )
+
+
+def test_qkv_houter_gradients_match_xla():
+    # >8 heads routes the single-kv-block backward through the
+    # head-outer kernel variant (VMEM-bounded for many-head geometries)
+    q, k, v = _flat_qkv(N=300, B=2, H=9)
+    qkv = jnp.concatenate([q, k, v], axis=-1)
+    scale = 64**-0.5
+
+    def loss_qkv(qkv):
+        out = flash_attention_qkv(
+            qkv, scale=scale, num_heads=9, interpret=True
+        )
+        return jnp.sum(jnp.sin(out))
+
+    def loss_ref(qkv):
+        A = qkv.shape[-1] // 3
+        return jnp.sum(jnp.sin(_xla_flat(
+            qkv[..., :A], qkv[..., A:2 * A], qkv[..., 2 * A:], scale, 9
+        )))
+
+    g_ours = jax.grad(loss_qkv)(qkv)
+    g_ref = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(
+        np.asarray(g_ours), np.asarray(g_ref), atol=3e-5, rtol=3e-5
+    )

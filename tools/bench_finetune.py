@@ -5,8 +5,13 @@ Same chained-dispatch methodology as bench.py. Prints one JSON line;
 not part of the driver's BENCH artifact (that's the pretrain step) —
 this tracks the other hot path end to end.
 
-Usage: PYTHONPATH=/root/repo python tools/bench_finetune.py
+Usage: PYTHONPATH=/root/repo python tools/bench_finetune.py [--bb]
+--bb benches the BB-focused MCA-fusing step (per-frame motion boxes
+threaded into the model; MCA cross-attention fusing head) instead of the
+plain classifier.
 """
+
+import sys
 
 import json
 import os
@@ -36,28 +41,43 @@ def main():
     from mofo_tpu.train.train_state import TrainState
 
     enable_compilation_cache()
+    bb = "--bb" in sys.argv
     B = int(os.environ.get("MOFO_BENCH_BATCH", "24"))
     n_classes = 174
     cfg = FinetuneConfig(batch_size=B, nb_classes=n_classes)
-    model = create_model(
-        "vit_base_patch16_224", num_classes=n_classes, dtype=jnp.bfloat16
-    )
     clip = jax.random.normal(
         jax.random.PRNGKey(0), (B, 16, 224, 224, 3), jnp.float32
     )
     labels = jax.random.randint(
         jax.random.PRNGKey(1), (B,), 0, n_classes
     )
-    params = model.init(jax.random.PRNGKey(2), clip)["params"]
+    if bb:
+        model = create_model(
+            "vit_base_patch16_224_BB_focused", num_classes=n_classes,
+            fusing_method="MCA", dtype=jnp.bfloat16,
+        )
+        bk1, bk2 = jax.random.split(jax.random.PRNGKey(4))
+        xy1 = jax.random.uniform(bk1, (B, 16, 2), minval=0.0, maxval=96.0)
+        wh = jax.random.uniform(bk2, (B, 16, 2), minval=48.0, maxval=128.0)
+        boxes = jnp.concatenate([xy1, xy1 + wh], axis=-1)
+        params = model.init(jax.random.PRNGKey(2), clip, boxes)["params"]
+    else:
+        model = create_model(
+            "vit_base_patch16_224", num_classes=n_classes,
+            dtype=jnp.bfloat16,
+        )
+        params = model.init(jax.random.PRNGKey(2), clip)["params"]
     lr = schedules.cosine_schedule(5e-4, 1e-6, 100, 100, 5)
     tx = optim.create_optimizer(
         params, lr_schedule=lr, betas=(0.9, 0.999), weight_decay=0.05,
         layer_decay=0.75,
     )
     state = TrainState.create(params, tx)
-    step = jax.jit(make_finetune_step(model, tx, cfg),
+    step = jax.jit(make_finetune_step(model, tx, cfg, bb_focused=bb),
                    donate_argnums=(0,))
     batch = {"clip": clip, "label": labels}
+    if bb:
+        batch["boxes"] = boxes
     rng = jax.random.PRNGKey(3)
 
     state, metrics = step(state, batch, rng)
@@ -69,9 +89,16 @@ def main():
     final_loss = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / n_iters
     flops = 3 * vit_b_cls_fwd_flops(B, n_classes)
+    if bb:
+        # MCA fusing block (queries+kv over all 1568 tokens, 3 heads x
+        # 64): q/kv/proj projections + mlp + two 192-dim attn matmuls
+        n, d, ahd = 1568, 768, 192
+        mca = 2 * n * d * (d + 2 * ahd + ahd + 2 * 4 * d) \
+            + 4 * n * n * ahd
+        flops += 3 * B * mca
     peak = 197e12
     print(json.dumps({
-        "metric": "clips/sec/chip ViT-B finetune",
+        "metric": "clips/sec/chip ViT-B " + ("BB-MCA " if bb else "") + "finetune",
         "value": round(B / dt, 2),
         "unit": "clips/s",
         "extra": {
