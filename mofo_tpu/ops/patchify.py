@@ -128,11 +128,22 @@ def patchify_flat(
     #   7-D with (p2, C) pre-merged   123.05 ms  <- default
     #   8-D canonical                 124.0
     #   (B, t) leading-merge 6-D      128.4
+    #   i32-pair bitcast transpose    140.4  (breaks producer fusion)
     #   two-permute split (round 1)   130.5 vs 130.2 (same schedule)
     # MOFO_PATCHIFY=8d/bt re-runs the alternatives.
     import os
 
     variant = os.environ.get("MOFO_PATCHIFY", "7d")
+    if variant == "i32" and clip.dtype == jnp.bfloat16 and (p * C) % 2 == 0:
+        # transpose on 32-bit lanes: pack bf16 pairs into i32 so the
+        # permutation moves half the elements at twice the width (the
+        # bf16 T(8,128)(2,1) sub-tiling makes narrow-type transposes
+        # slower); bitcasts are free metadata ops
+        x = clip.reshape(B, t, p0, h, p, w, (p * C) // 2, 2)
+        xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+        xi = xi.transpose(0, 1, 3, 5, 2, 4, 6)
+        xb = jax.lax.bitcast_convert_type(xi, jnp.bfloat16)
+        return xb.reshape(B, t * h * w, p0 * p * p * C)
     if variant == "bt":
         x = clip.reshape(B * t, p0, h, p, w, p * C)
         x = x.transpose(0, 2, 4, 1, 3, 5)  # (Bt,h,w,p0,p1,p2C)
@@ -233,6 +244,18 @@ def normalize_patch_rows(
     # tensors materialize in compute_dtype (bf16 in bf16 steps — the
     # per-channel stats are exact f32; only their D-wide broadcast
     # narrows), halving their HBM traffic.
+    import os
+
+    if os.environ.get("MOFO_STATS_BCAST") == "4d":
+        # A/B alternative: broadcast the (B, M, C) stats through a 4-D
+        # bitcast view instead of selector matmuls (no materialized
+        # D-wide stat tensors). Round-2: 134.5 vs 131.2 ms (two layout
+        # copies); round-3 re-measure: 127.1 vs 122.7 ms. Still off.
+        B_, M_ = g.shape[:2]
+        g4 = g.astype(acc).reshape(B_, M_, npos, channels)
+        out4 = (g4 - mu[:, :, None, :].astype(acc)) \
+            / denom[:, :, None, :].astype(acc)
+        return out4.reshape(B_, M_, D).astype(compute_dtype)
     fsel = sel.astype(acc)
     mu_d = jnp.einsum("bmc,dc->bmd", mu, fsel,
                       preferred_element_type=acc
