@@ -213,3 +213,33 @@ def test_qkv_12head_finetune_geometry_on_chip():
         np.asarray(g_ours, dtype=np.float32),
         np.asarray(g_ref, dtype=np.float32), atol=3e-2, rtol=3e-2,
     )
+
+
+def test_convergence_ab_artifact():
+    """Gated multi-step convergence A/B: the production config
+    (pallas+bf16) must track the reference config (xla+f32) across a
+    50-step pretrain run. Asserts the recorded artifact (regenerate
+    with tools/convergence_ab.py --out tests/golden/
+    convergence_ab_v5e.json); re-running the tool on-chip is the
+    refresh path when kernels change."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "golden", "convergence_ab_v5e.json"
+    )
+    assert os.path.exists(path), "run tools/convergence_ab.py --out " + path
+    art = json.load(open(path))
+    assert art["steps"] >= 50
+    prod, ref = art["prod_losses"], art["ref_losses"]
+    # both configs actually trained (loss moved meaningfully)
+    assert prod[-1] < prod[0] and ref[-1] < ref[0]
+    # the fast path tracks the conservative path: the measured loss
+    # carries a constant ~0.95% offset (bf16 activations quantize the
+    # loss VALUE, visible from step 0), so assert (a) the pointwise gap
+    # stays inside that band and (b) the actual training improvement
+    # matches tightly
+    assert art["max_rel_diff"] < 2e-2, art["max_rel_diff"]
+    imp_prod = prod[0] - prod[-1]
+    imp_ref = ref[0] - ref[-1]
+    assert abs(imp_prod - imp_ref) / imp_ref < 5e-2, (imp_prod, imp_ref)
