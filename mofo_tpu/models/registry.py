@@ -71,6 +71,14 @@ def pretrain_videomae_large_patch16_224(**kwargs):
     return _pretrain(1024, 24, 16, 512, 8, **kwargs)
 
 
+@register_model
+def pretrain_videomae_tiny_debug(**kwargs):
+    """Rebuild-only CI preset (no reference counterpart): 2-block dim-64
+    encoder + dim-32 decoder so the CLI e2e tests compile in seconds on
+    a 1-core CPU host instead of minutes at ViT-B depth."""
+    return _pretrain(64, 2, 2, 32, 2, **kwargs)
+
+
 # --- finetuning models (modeling_finetune.py:637-705) ----------------------
 
 
@@ -116,6 +124,13 @@ def vit_large_patch16_384(**kwargs):
 @register_model
 def vit_large_patch16_512(**kwargs):
     return _vit(1024, 24, 16, _img_size=512, **kwargs)
+
+
+@register_model
+def vit_tiny_debug(**kwargs):
+    """Rebuild-only CI preset (no reference counterpart): 2-block dim-64
+    classifier for fast-compiling CLI e2e tests."""
+    return _vit(64, 2, 2, **kwargs)
 
 
 @register_model

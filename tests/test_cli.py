@@ -13,6 +13,8 @@ from mofo_tpu.cli import finetune as FT
 from mofo_tpu.cli import pretrain as PT
 
 TINY_PRETRAIN = [
+    "--model", "pretrain_videomae_tiny_debug",
+    "--decoder_depth", "1",
     "--synthetic", "32",
     "--batch_size", "2",
     "--input_size", "32",
@@ -26,6 +28,7 @@ TINY_PRETRAIN = [
 ]
 
 TINY_FINETUNE = [
+    "--model", "vit_tiny_debug",
     "--synthetic", "32",
     "--batch_size", "2",
     "--input_size", "32",
