@@ -35,6 +35,12 @@ Array = jax.Array
 
 _BLOCK_Q = 256
 _NEG_INF = -1e30
+# exp(x) lowers to exp2(x * log2e) on the TPU VPU: folding log2e into the
+# score scale and working in base 2 (exp2/log2) deletes one full-size
+# (bq, Nk) VPU multiply per tile in the softmax and one in every backward
+# p-recompute. Enabled on the bf16 fast path only (base2=True) — numerics
+# differ from exp() by rounding ULPs, so the f32 parity path keeps exp.
+_LOG2E = 1.4426950408889634
 
 
 def _on_tpu() -> bool:
@@ -377,17 +383,22 @@ def flash_attention(
 
 
 def _mh_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
-                   scale, n_valid, heads):
+                   scale, n_valid, heads, base2=False):
     # q: (1, bq, H*D); k, v: (1, Nk, H*D); o: (1, bq, H*D);
     # lse: (1, 1, H, 8, bq) — per-head row logsumexp, replicated over the
     # 8 sublanes (same Mosaic constraint as the head-major kernel above).
+    # base2: scores carry a folded log2e and lse is stored in base-2
+    # units — exp2/log2 replace exp/log (see _LOG2E).
     hd = q_ref.shape[-1] // heads
+    s_scale = scale * _LOG2E if base2 else scale
+    exp_fn = jnp.exp2 if base2 else jnp.exp
+    log_fn = jnp.log2 if base2 else jnp.log
 
     def score(h):
         # scale folds into the (bq, hd) q operand, not the (bq, Nk)
         # score matrix (one small VPU pass; matches xla_attention)
         sl = slice(h * hd, (h + 1) * hd)
-        qh = q_ref[0][:, sl] * q_ref.dtype.type(scale)
+        qh = q_ref[0][:, sl] * q_ref.dtype.type(s_scale)
         s = jax.lax.dot_general(
             qh, k_ref[0][:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -407,7 +418,7 @@ def _mh_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         sl = slice(h * hd, (h + 1) * hd)
         vh = v_ref[0][:, sl]
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = exp_fn(s - m)  # exp2((s-m)*log2e) == exp(s-m) when base2
         l = jnp.sum(p, axis=-1, keepdims=True)
         # fold the 1/l normalization into the (bq, D) output instead of
         # dividing the full (bq, Nk) probability block (VPU savings)
@@ -416,13 +427,13 @@ def _mh_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
             preferred_element_type=jnp.float32,
         ) / l
         o_ref[0, :, sl] = o.astype(o_ref.dtype)
-        lse_row = (m[:, 0] + jnp.log(l[:, 0]))[None, :]
+        lse_row = (m[:, 0] + log_fn(l[:, 0]))[None, :]
         lse_ref[0, 0, h] = jnp.broadcast_to(lse_row, (8, lse_row.shape[1]))
 
 
 def _mh_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, ld_ref,
                     dq_ref, dk_ref, dv_ref, dq_acc_ref,
-                    *, scale, n_valid, heads):
+                    *, scale, n_valid, heads, base2=False):
     # ONE backward pass for dq, dk, dv: grid (B, nk), sequential over kv
     # blocks. k/v/dk/dv: (1, bk, H*D) blocks; q/do/dq: (1, Nq, H*D) full
     # (dq is a float32 VMEM accumulator revisited across the nk steps —
@@ -448,6 +459,13 @@ def _mh_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, ld_ref,
     nq = ld_ref.shape[1]
     bq = ld_ref.shape[3]
     k0 = ki * bk
+    # base2: q carries scale*log2e (for the base-2 score recompute AND
+    # the dk matmul — dk is rescaled by 1/log2e once at the final write);
+    # k carries the TRUE scale for dq. exp -> exp2 saves the internal
+    # x*log2e multiply on every (bq, bk) tile.
+    s_scale = scale * _LOG2E if base2 else scale
+    exp_fn = jnp.exp2 if base2 else jnp.exp
+    dk_fix = jnp.float32(1.0 / _LOG2E) if base2 else None
     dk_acc = [jnp.zeros((bk, hd), jnp.float32) for _ in range(heads)]
     dv_acc = [jnp.zeros((bk, hd), jnp.float32) for _ in range(heads)]
     # per-head k/v slices are qi-invariant: slice (and scale) them once
@@ -475,7 +493,7 @@ def _mh_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, ld_ref,
         # operands qh / khs — two small passes instead of two (bq, bk)
         # ones.
         qh_all = [
-            qb[:, h * hd:(h + 1) * hd] * qb.dtype.type(scale)
+            qb[:, h * hd:(h + 1) * hd] * qb.dtype.type(s_scale)
             for h in range(heads)
         ]
         doh_all = [dob[:, h * hd:(h + 1) * hd] for h in range(heads)]
@@ -499,7 +517,7 @@ def _mh_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, ld_ref,
             lse = ld_ref[0, qi, h]
             delta = ld_ref[0, qi, heads + h]
             # (bf16 exp measured identical to f32 exp — Mosaic upcasts)
-            p = jnp.exp(s - lse[:, None])
+            p = exp_fn(s - lse[:, None])
             dv_acc[h] = dv_acc[h] + jax.lax.dot_general(
                 p.astype(doh.dtype), doh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -518,7 +536,8 @@ def _mh_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, ld_ref,
         dq_acc_ref[pl.ds(qi * bq, bq), :] = cur + dq_blk
     for h in range(heads):
         sl = slice(h * hd, (h + 1) * hd)
-        dk_ref[0, :, sl] = dk_acc[h].astype(dk_ref.dtype)
+        dk_h = dk_acc[h] if dk_fix is None else dk_acc[h] * dk_fix
+        dk_ref[0, :, sl] = dk_h.astype(dk_ref.dtype)
         dv_ref[0, :, sl] = dv_acc[h].astype(dv_ref.dtype)
 
     @pl.when(ki == nk - 1)
@@ -536,6 +555,7 @@ def _mh_fwd_impl(q, k, v, scale, heads, interpret):
     kp = _pad_to(k, n_pad, 1)
     vp = _pad_to(v, n_pad, 1)
     nq = n_pad // bq
+    base2 = q.dtype == jnp.bfloat16
 
     def call(qp, kp, vp):
         # batch extent from the operand: under SPMD partitioning
@@ -543,7 +563,8 @@ def _mh_fwd_impl(q, k, v, scale, heads, interpret):
         b = qp.shape[0]
         out, lse = pl.pallas_call(
             functools.partial(
-                _mh_fwd_kernel, scale=scale, n_valid=n_valid, heads=heads
+                _mh_fwd_kernel, scale=scale, n_valid=n_valid, heads=heads,
+                base2=base2,
             ),
             grid=(b, nq),
             in_specs=[
@@ -724,7 +745,7 @@ def flash_attention_mh(
 
 
 def _qkv_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
-                    dqkv_ref, *, scale, n_valid, heads, bq):
+                    dqkv_ref, *, scale, n_valid, heads, bq, base2=False):
     # grid (B,): one program per batch element, full rows; kv in one
     # block. q/k/v: (1, n_pad, A) views of the fused qkv; do, o:
     # (1, n_pad, A); lse: (1, nq, H, 8, bq) — the forward's layout,
@@ -734,6 +755,11 @@ def _qkv_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     hd = A // heads
     n_pad = k_ref.shape[1]
     nq = n_pad // bq
+    # base2: see _mh_dqkv_kernel — q carries scale*log2e (score + dk,
+    # with dk rescaled once at the write), k carries the true scale (dq)
+    s_scale = scale * _LOG2E if base2 else scale
+    exp_fn = jnp.exp2 if base2 else jnp.exp
+    dk_fix = jnp.float32(1.0 / _LOG2E) if base2 else None
     kh_all = [k_ref[0][:, h * hd:(h + 1) * hd] for h in range(heads)]
     khs_all = [kh * kh.dtype.type(scale) for kh in kh_all]
     vh_all = [v_ref[0][:, h * hd:(h + 1) * hd] for h in range(heads)]
@@ -755,7 +781,7 @@ def _qkv_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         dob = do_ref[0, pl.ds(qi * bq, bq), :]
         ob = o_ref[0, pl.ds(qi * bq, bq), :]
         qh_all = [
-            qb[:, h * hd:(h + 1) * hd] * qb.dtype.type(scale)
+            qb[:, h * hd:(h + 1) * hd] * qb.dtype.type(s_scale)
             for h in range(heads)
         ]
         doh_all = [dob[:, h * hd:(h + 1) * hd] for h in range(heads)]
@@ -792,7 +818,7 @@ def _qkv_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
             # the small lse tensor), so their p — and every contribution
             # they make — is exactly zero
             lse = lse_ref[0, qi, h, 0]
-            p = jnp.exp(s - lse[:, None])  # padded q rows -> exactly 0
+            p = exp_fn(s - lse[:, None])  # padded q rows -> exactly 0
             dv_acc[h] = dv_acc[h] + jax.lax.dot_general(
                 p.astype(doh.dtype), doh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -811,7 +837,8 @@ def _qkv_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
             dqkv_ref.dtype
         )
     for h in range(heads):
-        dqkv_ref[0, :, pl.ds(A + h * hd, hd)] = dk_acc[h].astype(
+        dk_h = dk_acc[h] if dk_fix is None else dk_acc[h] * dk_fix
+        dqkv_ref[0, :, pl.ds(A + h * hd, hd)] = dk_h.astype(
             dqkv_ref.dtype
         )
         dqkv_ref[0, :, pl.ds(2 * A + h * hd, hd)] = dv_acc[h].astype(
@@ -820,7 +847,8 @@ def _qkv_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
 
 
 def _qkv_bwd_kernel_houter(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
-                           dqkv_ref, *, scale, n_valid, heads, bq):
+                           dqkv_ref, *, scale, n_valid, heads, bq,
+                           base2=False):
     # Head-OUTER variant of _qkv_bwd_kernel for many-head geometries
     # (the 12-head 1568-token classifier): the h-inner form keeps all
     # heads' k/v slices and dk/dv accumulators live across the whole
@@ -834,6 +862,11 @@ def _qkv_bwd_kernel_houter(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     hd = A // heads
     n_pad = k_ref.shape[1]
     nq = n_pad // bq
+    # base2: see _mh_dqkv_kernel — q carries scale*log2e (score + dk,
+    # with dk rescaled once at the write), k carries the true scale (dq)
+    s_scale = scale * _LOG2E if base2 else scale
+    exp_fn = jnp.exp2 if base2 else jnp.exp
+    dk_fix = jnp.float32(1.0 / _LOG2E) if base2 else None
     qb_all = [q_ref[0, pl.ds(qi * bq, bq), :] for qi in range(nq)]
     dob_all = [do_ref[0, pl.ds(qi * bq, bq), :] for qi in range(nq)]
     ob_all = [o_ref[0, pl.ds(qi * bq, bq), :] for qi in range(nq)]
@@ -843,7 +876,7 @@ def _qkv_bwd_kernel_houter(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
 
     def qh_of(h, qi):
         qb = qb_all[qi]
-        return qb[:, sl(h)] * qb.dtype.type(scale)
+        return qb[:, sl(h)] * qb.dtype.type(s_scale)
 
     def s_mm(h, qi):
         s = jax.lax.dot_general(
@@ -880,7 +913,7 @@ def _qkv_bwd_kernel_houter(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
             doh.astype(jnp.float32) * oh.astype(jnp.float32), axis=1
         )  # (bq,)
         lse = lse_ref[0, qi, h, 0]  # +inf on padded q rows
-        p = jnp.exp(s - lse[:, None])
+        p = exp_fn(s - lse[:, None])
         dv_acc = dv_acc + jax.lax.dot_general(
             p.astype(doh.dtype), doh, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -899,7 +932,8 @@ def _qkv_bwd_kernel_houter(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         dqkv_ref[0, pl.ds(qi * bq, bq), pl.ds(h * hd, hd)] = \
             dq_piece.astype(dqkv_ref.dtype)
         if qi == nq - 1:
-            dqkv_ref[0, :, pl.ds(A + h * hd, hd)] = dk_acc.astype(
+            dk_out = dk_acc if dk_fix is None else dk_acc * dk_fix
+            dqkv_ref[0, :, pl.ds(A + h * hd, hd)] = dk_out.astype(
                 dqkv_ref.dtype
             )
             dqkv_ref[0, :, pl.ds(2 * A + h * hd, hd)] = dv_acc.astype(
@@ -916,12 +950,14 @@ def _qkv_fwd_impl(qkv, scale, heads, interpret):
     n_valid = N if n_pad != N else None
     qkvp = _pad_to(qkv, n_pad, 1)
     nq = n_pad // bq
+    base2 = qkv.dtype == jnp.bfloat16
 
     def call(qkvp):
         b = qkvp.shape[0]  # LOCAL batch under SPMD partitioning
         out, lse = pl.pallas_call(
             functools.partial(
-                _mh_fwd_kernel, scale=scale, n_valid=n_valid, heads=heads
+                _mh_fwd_kernel, scale=scale, n_valid=n_valid, heads=heads,
+                base2=base2,
             ),
             grid=(b, nq),
             in_specs=[
@@ -995,12 +1031,14 @@ def _qkv_bwd_impl(qkv, out, lse, do, scale, heads, interpret):
     # one head's working set live and fits many-head geometries.
     kernel = _qkv_bwd_kernel if heads <= 8 else _qkv_bwd_kernel_houter
 
+    base2 = qkv.dtype == jnp.bfloat16
+
     def call(qkvp, outp, dop, lse):
         b = qkvp.shape[0]  # LOCAL batch under SPMD partitioning
         return pl.pallas_call(
             functools.partial(
                 kernel, scale=scale, n_valid=n_valid,
-                heads=heads, bq=bq,
+                heads=heads, bq=bq, base2=base2,
             ),
             grid=(b,),
             in_specs=[

@@ -229,6 +229,59 @@ def motion_tube_mask(
     return mask.reshape(B, temporal_positions * ppf)
 
 
+def tokens_in_box(
+    boxes: Array,
+    token_idx: Array,
+    *,
+    tubelet_size: int = 2,
+    patches_per_side: int = 14,
+    patch_size: int = 16,
+) -> Array:
+    """In-box test evaluated AT token indices, without a (B, N) map gather.
+
+    boxes: (B, T, 4) per-frame pixel boxes; token_idx: (B, M) int token
+    positions. Returns bool (B, M): token (t, j, k) is in-box iff any of
+    its tubelet frames' boxes paint-overlaps patch (j, k) — bit-identical
+    to take_along_axis(models.bb_focused.token_in_box_map(boxes), idx).
+
+    Why: gathering the (B, N) bool/f32 map at (B, M) indices is a
+    1-element-per-row gather — 0.69 ms/step of pure DMA overhead at the
+    ViT-B pretrain geometry (48, 1408). Here the box bounds are selected
+    per token with an exact one-hot f32 matmul over the 8 temporal
+    positions (tiny: (B, M, t) @ (B, t, 4)) and the rectangle test is
+    elementwise arithmetic that fuses into neighboring work.
+    """
+    P, s = patches_per_side, patch_size
+    B, T = boxes.shape[:2]
+    t = T // tubelet_size
+    t_idx = token_idx // (P * P)
+    rem = token_idx % (P * P)
+    j = rem // P  # patch row
+    k = rem % P  # patch col
+    row_lo = (j * s).astype(jnp.float32)
+    col_lo = (k * s).astype(jnp.float32)
+    row_hi = row_lo + s
+    col_hi = col_lo + s
+    # exact one-hot selection of each token's temporal position: every
+    # product is x*1 or x*0, so f32 accumulation is bit-exact
+    onehot = (
+        t_idx[..., None] == jnp.arange(t)[None, None, :]
+    ).astype(jnp.float32)  # (B, M, t)
+    in_any = jnp.zeros(token_idx.shape, bool)
+    for r in range(tubelet_size):
+        frame_boxes = boxes[:, r::tubelet_size][:, :t].astype(jnp.float32)
+        sel = jnp.einsum(
+            "bmt,btc->bmc", onehot, frame_boxes,
+            preferred_element_type=jnp.float32,
+        )  # (B, M, 4)
+        x1, y1, x2, y2 = (sel[..., c] for c in range(4))
+        inside = (
+            (x1 < col_hi) & (x2 > col_lo) & (y1 < row_hi) & (y2 > row_lo)
+        )  # the 'paint' half-open rasterization (box_to_patch_map)
+        in_any = in_any | inside
+    return in_any
+
+
 def gather_tokens(tokens: Array, idx: Array) -> Array:
     """Gradient-path token selection: tokens (B, N, D), idx (B, M) ->
     (B, M, D).

@@ -134,6 +134,16 @@ def patchify_flat(
     import os
 
     variant = os.environ.get("MOFO_PATCHIFY", "7d")
+    if variant == "lr":
+        # transpose + minor-merge folded into ONE reshape HLO
+        # (lax.reshape's `dimensions` argument): gives XLA a single op to
+        # lay out instead of a transpose whose output layout then forces
+        # a second copy at the (t,h,w)/(p0,p1,p2C) merge.
+        x = clip.reshape(B, t, p0, h, p, w, p * C)
+        return jax.lax.reshape(
+            x, (B, t * h * w, p0 * p * p * C),
+            dimensions=(0, 1, 3, 5, 2, 4, 6),
+        )
     if variant == "i32" and clip.dtype == jnp.bfloat16 and (p * C) % 2 == 0:
         # transpose on 32-bit lanes: pack bf16 pairs into i32 so the
         # permutation moves half the elements at twice the width (the

@@ -135,20 +135,31 @@ def _loss_for_batch(
     weights = None
     if cfg.motion_loss_weight and loss_weight is not None:
         # Per-masked-token weight: 1 + w for tokens inside the motion box.
-        from mofo_tpu.models.bb_focused import token_in_box_map
+        if os.environ.get("MOFO_INBOX") == "gather":
+            # A/B alternative: rasterize the full (B, N) map and gather it
+            # at the masked indices — a 1-element-per-row gather that
+            # costs 0.69 ms/step of DMA overhead at the ViT-B geometry
+            from mofo_tpu.models.bb_focused import token_in_box_map
 
-        in_map = token_in_box_map(
-            batch["boxes"],
-            tubelet_size=cfg.tubelet_size,
-            patches_per_side=cfg.input_size // cfg.patch_size,
-            patch_size=cfg.patch_size,
-        )
-        # gather in f32, not bool: the boolean gather showed 0.7 ms of
-        # device time in the trace (full-step delta is noise-level —
-        # it overlaps — but the f32 gather is never slower)
-        in_masked = jnp.take_along_axis(
-            in_map.astype(jnp.float32), masked_idx, axis=1
-        )
+            in_map = token_in_box_map(
+                batch["boxes"],
+                tubelet_size=cfg.tubelet_size,
+                patches_per_side=cfg.input_size // cfg.patch_size,
+                patch_size=cfg.patch_size,
+            )
+            in_masked = jnp.take_along_axis(
+                in_map.astype(jnp.float32), masked_idx, axis=1
+            )
+        else:
+            # evaluate the box test AT the masked indices (bit-identical
+            # to the gathered map; pure arithmetic, no gather)
+            in_masked = masking.tokens_in_box(
+                batch["boxes"],
+                masked_idx,
+                tubelet_size=cfg.tubelet_size,
+                patches_per_side=cfg.input_size // cfg.patch_size,
+                patch_size=cfg.patch_size,
+            ).astype(jnp.float32)
         weights = 1.0 + loss_weight * in_masked
 
     pred = model.apply(

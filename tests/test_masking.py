@@ -180,3 +180,36 @@ class TestMaskToIndices:
             np.testing.assert_array_equal(
                 np.asarray(msk[b]), np.nonzero(m[b])[0]
             )
+
+
+class TestTokensInBox:
+    def test_matches_gathered_map(self):
+        """tokens_in_box(boxes, idx) must be bit-identical to gathering
+        token_in_box_map(boxes) at idx (it replaces that gather in the
+        pretrain step's motion-weighted loss)."""
+        from mofo_tpu.models.bb_focused import token_in_box_map
+
+        key = jax.random.PRNGKey(7)
+        B, T = 4, 16
+        k1, k2, k3 = jax.random.split(key, 3)
+        xy1 = jax.random.uniform(k1, (B, T, 2), minval=-8.0, maxval=200.0)
+        wh = jax.random.uniform(k2, (B, T, 2), minval=0.0, maxval=160.0)
+        boxes = jnp.concatenate([xy1, xy1 + wh], axis=-1)
+        # a few degenerate (empty) boxes too
+        boxes = boxes.at[0, 3].set(jnp.array([50.0, 50.0, 50.0, 50.0]))
+        idx = jax.random.randint(k3, (B, 37), 0, 1568)
+        ref = jnp.take_along_axis(
+            token_in_box_map(boxes), idx, axis=1
+        )
+        got = masking.tokens_in_box(boxes, idx)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_boundary_patches(self):
+        """Half-open 'paint' edges: a box ending exactly on a patch
+        boundary must not touch the next patch."""
+        boxes = jnp.tile(
+            jnp.array([16.0, 32.0, 32.0, 48.0]), (1, 16, 1)
+        )  # covers patch col 1, row 2 exactly
+        idx = jnp.array([[2 * 14 + 1, 2 * 14 + 2, 1 * 14 + 1, 2 * 14 + 0]])
+        got = masking.tokens_in_box(boxes, idx)
+        assert got.tolist() == [[True, False, False, False]]

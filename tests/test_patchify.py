@@ -160,6 +160,18 @@ class TestMaskedNormalizedTargets:
         b = np.asarray(patchify.patchify(clip))
         np.testing.assert_array_equal(a, b.reshape(a.shape))
 
+    def test_patchify_flat_variants_identical(self, monkeypatch):
+        """All MOFO_PATCHIFY formulations are the same permutation."""
+        rng = np.random.RandomState(10)
+        clip = jnp.asarray(
+            rng.rand(2, 4, 32, 32, 3).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        ref = np.asarray(patchify.patchify_flat(clip))
+        for variant in ("lr", "8d", "bt", "i32"):
+            monkeypatch.setenv("MOFO_PATCHIFY", variant)
+            got = np.asarray(patchify.patchify_flat(clip))
+            np.testing.assert_array_equal(got, ref, err_msg=variant)
+
     def test_bf16_targets_close_to_f32(self):
         """The bf16 fast path (bf16 patchify transpose + bf16 gather +
         f32-accumulated stats) must stay within bf16 noise of the exact
