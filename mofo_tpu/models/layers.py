@@ -636,7 +636,19 @@ class MCABlock(nn.Module):
 
 
 def _layer_norm(x: Array, dtype: Dtype, name: str) -> Array:
-    """LayerNorm(eps=1e-6) computed in float32, output cast to compute dtype."""
+    """LayerNorm(eps=1e-6) computed in float32, output cast to compute dtype.
+
+    MOFO_LN=mm routes bf16 inputs through the MXU-statistics variant
+    (ops/fused_ln.mm_stats_layer_norm — XLA's cross-lane stat reduces run
+    at 3-6x their bandwidth floor on v5e); the parameter tree is identical
+    (_LNParams), so checkpoints interchange."""
+    import os
+
+    if os.environ.get("MOFO_LN") == "mm" and x.dtype == jnp.bfloat16:
+        from mofo_tpu.ops.fused_ln import mm_stats_layer_norm
+
+        scale, bias = _LNParams(x.shape[-1], name=name)()
+        return mm_stats_layer_norm(x, scale, bias, dtype=dtype)
     y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name=name)(x)
     return y.astype(dtype)
 

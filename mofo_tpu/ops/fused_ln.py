@@ -69,6 +69,41 @@ def manual_layer_norm(x: Array, gamma: Array, beta: Array,
     return y.astype(dtype)
 
 
+def mm_stats_layer_norm(x: Array, gamma: Array, beta: Array,
+                        eps: float = 1e-6,
+                        dtype=jnp.bfloat16) -> Array:
+    """LayerNorm whose mean / mean-square ride the MXU.
+
+    XLA lowers the (B, N, D) -> (B, N) LN statistics as cross-lane VPU
+    reductions (log-shuffle per tile): the r3 step trace shows the fused
+    residual+stats ops at 3-6x their bandwidth floor (0.65 ms where the
+    traffic bounds ~0.2). A dot_general against a constant ones matrix
+    computes the same sums on the MXU at trivial FLOP cost, and its
+    autodiff emits broadcast matmuls instead of lane reduces in the
+    backward. bf16 inputs only (the x*x operand rounds through bf16 with
+    f32 accumulation — same recipe as the target stats in ops/patchify);
+    f32 callers should keep the exact flax path.
+    """
+    D = x.shape[-1]
+    ones = jnp.ones((D, 8), x.dtype)  # 8 lanes; physical tile pads anyway
+    s1 = jax.lax.dot_general(
+        x, ones, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[..., 0]  # (B, N) sum(x), exact f32 accumulation of bf16 x
+    x2 = (x.astype(jnp.float32) * x).astype(x.dtype)
+    s2 = jax.lax.dot_general(
+        x2, ones, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[..., 0]
+    mu = s1 / D
+    var = jnp.maximum(s2 / D - mu * mu, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    a = (rstd[..., None] * gamma.astype(jnp.float32))
+    b = (beta.astype(jnp.float32)
+         - mu[..., None] * rstd[..., None] * gamma.astype(jnp.float32))
+    return (x.astype(jnp.float32) * a + b).astype(dtype)
+
+
 def _fwd_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, o_ref, *, eps):
     xf = x_ref[...].astype(jnp.float32)  # (bm, D)
     mu = jnp.mean(xf, axis=-1, keepdims=True)

@@ -145,3 +145,44 @@ class TestBackward:
                 np.asarray(a), np.asarray(r), rtol=2e-4, atol=2e-5,
                 err_msg=name,
             )
+
+
+class TestMMStatsLN:
+    def test_matches_flax_layernorm(self):
+        """mm_stats_layer_norm (MXU statistics) vs nn.LayerNorm on bf16
+        inputs — must agree to bf16 precision (both use fast variance
+        and f32 stat accumulation)."""
+        import flax.linen as nn
+
+        from mofo_tpu.ops.fused_ln import mm_stats_layer_norm
+
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(
+            rng.randn(4, 37, 128).astype(np.float32) * 1.5 + 0.7
+        ).astype(jnp.bfloat16)
+        gamma = jnp.asarray(rng.rand(128).astype(np.float32) + 0.5)
+        beta = jnp.asarray(rng.randn(128).astype(np.float32))
+        ln = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)
+        ref = ln.apply(
+            {"params": {"scale": gamma, "bias": beta}}, x
+        ).astype(jnp.bfloat16)
+        got = mm_stats_layer_norm(x, gamma, beta, dtype=jnp.bfloat16)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+
+    def test_block_param_tree_unchanged(self, monkeypatch):
+        """MOFO_LN=mm must produce the identical parameter tree (the
+        _LNParams declaration mirrors nn.LayerNorm)."""
+        from mofo_tpu.models.layers import Block
+
+        x = jnp.zeros((1, 8, 64), jnp.bfloat16)
+        blk = Block(dim=64, num_heads=2, dtype=jnp.bfloat16)
+        p_flax = blk.init(jax.random.PRNGKey(0), x)["params"]
+        monkeypatch.setenv("MOFO_LN", "mm")
+        p_mm = blk.init(jax.random.PRNGKey(0), x)["params"]
+        assert jax.tree.structure(p_flax) == jax.tree.structure(p_mm)
+        # same values too (declaration order / init must not shift)
+        for a, b in zip(jax.tree.leaves(p_flax), jax.tree.leaves(p_mm)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
