@@ -186,8 +186,23 @@ class Mlp(nn.Module):
                 bias_init=nn.initializers.zeros,
                 name="fc1",
             )(x)
-        # torch nn.GELU default is the exact erf formulation.
-        x = nn.gelu(x, approximate=False)
+        # torch nn.GELU default is the exact erf formulation. XLA lowers
+        # erf as a ~40-op branchy f32 erfc polynomial — the dominant VPU
+        # cost of the fc1 fusion at the ViT-B decoder shape (r3 trace).
+        # MOFO_GELU=tanh switches bf16 callers to the tanh form computed
+        # in f32: max deviation from exact GELU is 4.7e-4 absolute (a
+        # last-bit bf16 flip on a minority of elements — a DOCUMENTED
+        # non-parity fast option; see docs/PERF.md). f32 callers (the
+        # bit-parity path) always use exact erf.
+        import os
+
+        if (os.environ.get("MOFO_GELU") == "tanh"
+                and self.dtype == jnp.bfloat16):
+            x = nn.gelu(
+                x.astype(jnp.float32), approximate=True
+            ).astype(self.dtype)
+        else:
+            x = nn.gelu(x, approximate=False)
         x = nn.Dense(
             self.out_features,
             dtype=self.dtype,

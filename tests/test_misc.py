@@ -125,3 +125,29 @@ class TestGraftEntry:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)  # conftest already forces 8 CPU devices
+
+
+class TestGeluOption:
+    def test_tanh_gelu_deviation_bound(self):
+        """MOFO_GELU=tanh is a documented non-parity fast path: its
+        deviation from exact (erf) GELU must stay under 5e-4 absolute
+        across the realistic activation range."""
+        import flax.linen as nn
+
+        x = jnp.linspace(-12.0, 12.0, 200001, dtype=jnp.float32)
+        a = nn.gelu(x, approximate=False)
+        b = nn.gelu(x, approximate=True)
+        assert float(jnp.max(jnp.abs(a - b))) < 5e-4
+
+    def test_env_switch_only_affects_bf16(self, monkeypatch):
+        from mofo_tpu.models.layers import Mlp
+
+        xf = jnp.asarray(
+            np.random.RandomState(0).randn(2, 8, 16), jnp.float32
+        )
+        mlp32 = Mlp(hidden_features=32, out_features=16, dtype=jnp.float32)
+        p = mlp32.init(jax.random.PRNGKey(0), xf)
+        ref = mlp32.apply(p, xf)
+        monkeypatch.setenv("MOFO_GELU", "tanh")
+        got = mlp32.apply(p, xf)  # f32 callers keep exact erf
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
