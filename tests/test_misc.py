@@ -151,3 +151,34 @@ class TestGeluOption:
         monkeypatch.setenv("MOFO_GELU", "tanh")
         got = mlp32.apply(p, xf)  # f32 callers keep exact erf
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+class TestSinusoidRows:
+    def test_matches_gathered_table(self):
+        """sinusoid_rows(idx) must equal gathering the float64-built
+        table at idx (to f32 sin accuracy, and bit-level after bf16
+        rounding for nearly all entries)."""
+        from mofo_tpu.models.layers import (
+            get_sinusoid_encoding_table, sinusoid_rows,
+        )
+
+        idx = jnp.asarray(
+            np.random.RandomState(0).randint(0, 1568, (3, 50)), jnp.int32
+        )
+        table = get_sinusoid_encoding_table(1568, 384)[0]  # (N, D) f32
+        ref = jnp.take_along_axis(
+            jnp.broadcast_to(table[None], (3,) + table.shape),
+            idx[..., None], axis=1,
+        )
+        got = sinusoid_rows(idx, 384, jnp.float32)
+        # f32 sin range-reduction at angles up to n_position rad costs
+        # ~1e-4 absolute — far below the bf16 resolution this path is
+        # gated to (the f32 parity path keeps the table)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=3e-4
+        )
+        # bf16-rounded: table vs arithmetic round identically almost
+        # everywhere (allow a small last-bit flip rate)
+        gb = np.asarray(sinusoid_rows(idx, 384, jnp.bfloat16), np.float32)
+        rb = np.asarray(ref.astype(jnp.bfloat16), np.float32)
+        assert np.mean(gb != rb) < 0.02
