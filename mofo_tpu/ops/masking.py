@@ -282,24 +282,55 @@ def tokens_in_box(
     return in_any
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _make_gather_rows(n: int):
+    """Row gather with a one-hot-matmul backward, specialized on N
+    (custom_vjp residuals must be arrays, so N rides the closure)."""
+
+    @jax.custom_vjp
+    def g(tokens, idx):
+        return jnp.take_along_axis(tokens, idx[..., None], axis=1)
+
+    def fwd(tokens, idx):
+        return g(tokens, idx), idx
+
+    def bwd(idx, dy):
+        # exact: per-row indices are unique, so each token row receives
+        # at most one contribution — no accumulation collisions
+        onehot = jax.nn.one_hot(idx, n, dtype=dy.dtype)
+        dtokens = jnp.einsum(
+            "bmn,bmd->bnd", onehot, dy, preferred_element_type=dy.dtype
+        )
+        return dtokens, None
+
+    g.defvjp(fwd, bwd)
+    return g
+
+
+def _gather_rows_onehot_bwd(tokens: Array, idx: Array) -> Array:
+    return _make_gather_rows(tokens.shape[1])(tokens, idx)
+
+
 def gather_tokens(tokens: Array, idx: Array) -> Array:
     """Gradient-path token selection: tokens (B, N, D), idx (B, M) ->
     (B, M, D).
 
-    On TPU this is a one-hot matmul instead of take_along_axis: the
-    gather's BACKWARD pass is a scatter-add, which is far slower on TPU
-    than the two dense matmuls of the one-hot formulation (selection
-    matrices here are tiny: 160 x 1568 bf16). Elsewhere (frozen positional
-    tables, stop-gradient targets) plain gathers stay."""
+    On TPU: take_along_axis FORWARD (a row gather — 7680 x 1.5 KB rows at
+    the encoder geometry, ~0.1 ms) with a one-hot-matmul BACKWARD via
+    custom_vjp. The natural pairings are both slower: gather fwd + XLA
+    scatter-add bwd (scatters serialize / can hang Mosaic-era compiles),
+    and one-hot fwd + one-hot bwd (the fwd einsum measured 1.64 ms at the
+    (48, 160, 1568, 768) geometry — 18x its flop floor). Elsewhere
+    (frozen positional tables, stop-gradient targets) plain gathers stay.
+    """
     import jax as _jax
 
     if _jax.default_backend() != "tpu":
         return jnp.take_along_axis(tokens, idx[..., None], axis=1)
-    onehot = _jax.nn.one_hot(idx, tokens.shape[1], dtype=tokens.dtype)
-    return jnp.einsum(
-        "bmn,bnd->bmd", onehot, tokens,
-        preferred_element_type=tokens.dtype,
-    )
+    return _gather_rows_onehot_bwd(tokens, idx)
 
 
 def mask_to_indices(mask: Array, num_masked: int) -> Tuple[Array, Array]:

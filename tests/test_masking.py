@@ -213,3 +213,30 @@ class TestTokensInBox:
         idx = jnp.array([[2 * 14 + 1, 2 * 14 + 2, 1 * 14 + 1, 2 * 14 + 0]])
         got = masking.tokens_in_box(boxes, idx)
         assert got.tolist() == [[True, False, False, False]]
+
+
+class TestGatherTokensVJP:
+    def test_custom_bwd_matches_autodiff_gather(self):
+        """The one-hot-matmul backward of _gather_rows_onehot_bwd must
+        equal the scatter-add backward of plain take_along_axis (exact:
+        per-row indices are unique, so each output row receives at most
+        one contribution)."""
+        rng = np.random.RandomState(1)
+        tokens = jnp.asarray(rng.randn(3, 20, 8).astype(np.float32))
+        idx = jnp.asarray(
+            np.stack([rng.choice(20, 7, replace=False) for _ in range(3)])
+        ).astype(jnp.int32)
+        dy = jnp.asarray(rng.randn(3, 7, 8).astype(np.float32))
+
+        def f_custom(t):
+            return jnp.sum(masking._gather_rows_onehot_bwd(t, idx) * dy)
+
+        def f_plain(t):
+            return jnp.sum(
+                jnp.take_along_axis(t, idx[..., None], axis=1) * dy
+            )
+
+        g1 = jax.grad(f_custom)(tokens)
+        g2 = jax.grad(f_plain)(tokens)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-6, atol=1e-6)
