@@ -633,12 +633,16 @@ def _mh_bwd_impl(q, k, v, out, lse, do, scale, heads, interpret):
         lse4 = jnp.where(row4 < N, lse4, jnp.inf)
     # compact (B, nq, 2H, BQ): rows [0,H) lse, rows [H,2H) delta
     ld = jnp.concatenate([lse4, delta4], axis=2)
+    # must match the forward's choice — the saved lse is in base-2 units
+    # exactly when the forward ran base2 (bf16)
+    base2 = q.dtype == jnp.bfloat16
 
     def call(qp, kp, vp, dop, ld):
         b = qp.shape[0]  # LOCAL batch under SPMD partitioning
         return tuple(pl.pallas_call(
             functools.partial(
-                _mh_dqkv_kernel, scale=scale, n_valid=n_valid, heads=heads
+                _mh_dqkv_kernel, scale=scale, n_valid=n_valid, heads=heads,
+                base2=base2,
             ),
             grid=(b, nq),
             in_specs=[

@@ -229,3 +229,65 @@ def test_qkv_houter_gradients_match_xla():
     np.testing.assert_allclose(
         np.asarray(g_ours), np.asarray(g_ref), atol=3e-5, rtol=3e-5
     )
+
+
+def test_qkv_bf16_long_seq_base2_consistency():
+    """bf16 >2048-token callers mix paths: the fused-qkv FORWARD stores
+    base-2 lse (base2=True) and the backward falls back to the blocked
+    kernels — which must also run base2 so the stored lse is interpreted
+    in the right units. A base mismatch is a ~ln2 scale error on every
+    gradient, far outside this tolerance."""
+    q, k, v = _flat_qkv(N=2100, B=1, H=1)
+    qkv = jnp.concatenate([q, k, v], axis=-1).astype(jnp.bfloat16)
+    scale = 64**-0.5
+
+    def loss_qkv(qkv):
+        out = flash_attention_qkv(
+            qkv, scale=scale, num_heads=1, interpret=True
+        )
+        return jnp.sum(jnp.sin(out.astype(jnp.float32)))
+
+    def loss_ref(qkv):
+        A = qkv.shape[-1] // 3
+        return jnp.sum(jnp.sin(_xla_flat(
+            qkv[..., :A].astype(jnp.float32),
+            qkv[..., A:2 * A].astype(jnp.float32),
+            qkv[..., 2 * A:].astype(jnp.float32), scale, 1,
+        )))
+
+    g_ours = jax.grad(loss_qkv)(qkv).astype(jnp.float32)
+    g_ref = jax.grad(loss_ref)(qkv.astype(jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(g_ours), np.asarray(g_ref), atol=0.05, rtol=0.08
+    )
+
+
+def test_mh_bf16_blocked_grads_base2():
+    """bf16 grads through the BLOCKED (B, N, H*D) path — every kernel
+    pair (fwd/bwd) must agree on the lse base (regression: the blocked
+    backward once defaulted to base2=False against a base-2 lse)."""
+    q, k, v = (t.astype(jnp.bfloat16) for t in _flat_qkv(N=300, B=1, H=2))
+    scale = 64**-0.5
+
+    def loss_mh(q, k, v):
+        o = flash_attention_mh(
+            q, k, v, scale=scale, num_heads=2, interpret=True
+        )
+        return jnp.sum(jnp.sin(o.astype(jnp.float32)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(_xla_flat(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            v.astype(jnp.float32), scale, 2,
+        )))
+
+    g1 = jax.grad(loss_mh, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        q.astype(jnp.float32), k.astype(jnp.float32),
+        v.astype(jnp.float32),
+    )
+    for a, b, nm in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b), atol=0.05,
+            rtol=0.08, err_msg=nm,
+        )
