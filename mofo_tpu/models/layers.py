@@ -679,11 +679,15 @@ def _layer_norm(x: Array, dtype: Dtype, name: str) -> Array:
     (_LNParams), so checkpoints interchange."""
     import os
 
-    if os.environ.get("MOFO_LN") == "mm" and x.dtype == jnp.bfloat16:
-        from mofo_tpu.ops.fused_ln import mm_stats_layer_norm
+    mode = os.environ.get("MOFO_LN")
+    if mode in ("mm", "mmvjp") and x.dtype == jnp.bfloat16:
+        from mofo_tpu.ops.fused_ln import (
+            mm_stats_layer_norm, mmvjp_layer_norm,
+        )
 
         scale, bias = _LNParams(x.shape[-1], name=name)()
-        return mm_stats_layer_norm(x, scale, bias, dtype=dtype)
+        fn = mmvjp_layer_norm if mode == "mmvjp" else mm_stats_layer_norm
+        return fn(x, scale, bias, dtype=dtype)
     y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name=name)(x)
     return y.astype(dtype)
 

@@ -69,6 +69,101 @@ def manual_layer_norm(x: Array, gamma: Array, beta: Array,
     return y.astype(dtype)
 
 
+def _ones_dot(t: Array, width: int = 8) -> Array:
+    """Row sums over the minor axis as an MXU dot against a constant
+    ones matrix (col 0 of the result); XLA's cross-lane reduce runs at
+    3-6x its bandwidth floor on v5e, the dot does not. `width` > 1 keeps
+    the algebraic simplifier from rewriting the dot back into a reduce
+    (it only folds dot-with-vector)."""
+    D = t.shape[-1]
+    ones = jnp.ones((D, width), t.dtype)
+    return jax.lax.dot_general(
+        t, ones, (((t.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[..., 0]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_mmvjp_ln(eps: float, dtype_name: str):
+    """LayerNorm with EVERY reduction on the MXU, fwd and bwd.
+
+    Forward: mean / mean-square via _ones_dot. Backward:
+      dx      = r * (g*dy - mean_d(g*dy) - xhat * mean_d(g*dy*xhat))
+      dgamma  = sum_rows(dy * xhat)  — the diagonal of xhat^T @ dy,
+                computed as a (D, D) MXU matmul then sliced (reads each
+                operand once; the elementwise+row-reduce XLA emits
+                otherwise measures ~4x its traffic floor)
+      dbeta   = ones^T @ dy
+    Residuals are x plus the tiny per-row (mu, r). bf16 fast path only.
+    """
+    odt = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+
+    def _stats(x):
+        D = x.shape[-1]
+        s1 = _ones_dot(x)
+        x2 = (x.astype(jnp.float32) * x).astype(x.dtype)
+        s2 = _ones_dot(x2)
+        mu = s1 / D
+        var = jnp.maximum(s2 / D - mu * mu, 0.0)
+        r = jax.lax.rsqrt(var + eps)
+        return mu, r
+
+    def _apply(x, gamma, beta, mu, r):
+        a = r[..., None] * gamma.astype(jnp.float32)
+        b = (beta.astype(jnp.float32)
+             - mu[..., None] * r[..., None] * gamma.astype(jnp.float32))
+        return (x.astype(jnp.float32) * a + b).astype(odt)
+
+    @jax.custom_vjp
+    def ln(x, gamma, beta):
+        mu, r = _stats(x)
+        return _apply(x, gamma, beta, mu, r)
+
+    def fwd(x, gamma, beta):
+        mu, r = _stats(x)
+        return _apply(x, gamma, beta, mu, r), (x, gamma, mu, r)
+
+    def bwd(res, dy):
+        x, gamma, mu, r = res
+        D = x.shape[-1]
+        xf = x.astype(jnp.float32)
+        dyf = dy.astype(jnp.float32)
+        xhat = (xf - mu[..., None]) * r[..., None]
+        gdy = dyf * gamma.astype(jnp.float32)
+        # per-row means over d: MXU dots (bf16 operands, f32 accum)
+        m1 = _ones_dot(gdy.astype(x.dtype)) / D  # (rows,)
+        m2 = _ones_dot((gdy * xhat).astype(x.dtype)) / D
+        dx = (r[..., None]
+              * (gdy - m1[..., None] - xhat * m2[..., None]))
+        # param grads: contract over ALL leading axes at once
+        lead = tuple(range(x.ndim - 1))
+        full = jax.lax.dot_general(
+            xhat.astype(x.dtype), dy.astype(x.dtype),
+            ((lead, lead), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (D, D); diag = sum_rows(xhat * dy)
+        dgamma = jnp.diagonal(full)
+        ones_rows = jnp.ones(x.shape[:-1] + (8,), x.dtype)
+        dbeta = jax.lax.dot_general(
+            ones_rows, dy.astype(x.dtype),
+            ((lead, lead), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[0]  # (8, D) -> row 0
+        return dx.astype(x.dtype), dgamma.astype(jnp.float32), \
+            dbeta.astype(jnp.float32)
+
+    ln.defvjp(fwd, bwd)
+    return ln
+
+
+def mmvjp_layer_norm(x: Array, gamma: Array, beta: Array,
+                     eps: float = 1e-6,
+                     dtype=jnp.bfloat16) -> Array:
+    """Matmul-everything LayerNorm (see _make_mmvjp_ln)."""
+    name = "bfloat16" if dtype == jnp.bfloat16 else "float32"
+    return _make_mmvjp_ln(eps, name)(x, gamma, beta)
+
+
 def mm_stats_layer_norm(x: Array, gamma: Array, beta: Array,
                         eps: float = 1e-6,
                         dtype=jnp.bfloat16) -> Array:

@@ -186,3 +186,47 @@ class TestMMStatsLN:
         # same values too (declaration order / init must not shift)
         for a, b in zip(jax.tree.leaves(p_flax), jax.tree.leaves(p_mm)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestMMVJPLN:
+    def test_fwd_and_grads_match_flax(self):
+        """mmvjp_layer_norm: forward AND all gradients must match flax
+        nn.LayerNorm autodiff to bf16-rounding tolerance."""
+        import flax.linen as nn
+
+        from mofo_tpu.ops.fused_ln import mmvjp_layer_norm
+
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(
+            rng.randn(3, 29, 128).astype(np.float32) * 1.3 + 0.4
+        ).astype(jnp.bfloat16)
+        gamma = jnp.asarray(rng.rand(128).astype(np.float32) + 0.5)
+        beta = jnp.asarray(rng.randn(128).astype(np.float32))
+        dy = jnp.asarray(rng.randn(3, 29, 128).astype(np.float32))
+        ln = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)
+
+        def loss_ref(x, gamma, beta):
+            y = ln.apply({"params": {"scale": gamma, "bias": beta}}, x)
+            return jnp.sum(y * dy)
+
+        def loss_mm(x, gamma, beta):
+            y = mmvjp_layer_norm(x, gamma, beta, dtype=jnp.bfloat16)
+            return jnp.sum(y.astype(jnp.float32) * dy)
+
+        y_ref = ln.apply({"params": {"scale": gamma, "bias": beta}}, x)
+        y_mm = mmvjp_layer_norm(x, gamma, beta, dtype=jnp.bfloat16)
+        np.testing.assert_allclose(
+            np.asarray(y_mm, np.float32), np.asarray(y_ref, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, gamma, beta)
+        g_mm = jax.grad(loss_mm, argnums=(0, 1, 2))(x, gamma, beta)
+        # param-grad dots consume bf16-rounded cotangents — the same
+        # operand precision as every dW matmul in the bf16 step
+        for a, b, nm, tol in zip(
+            g_mm, g_ref, ("dx", "dgamma", "dbeta"), (0.15, 0.3, 0.06)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=tol, atol=tol, err_msg=nm,
+            )
