@@ -2,6 +2,11 @@
 
 Usage: python tools/top_ops.py <tracedir> <hlo.txt> [nsteps] [nops]
 Prints: ms/step  op-name  result-shape  op_name-metadata (truncated).
+
+nsteps defaults to the number of traced whole-program executions
+(counted from the jit_* parent events) — passing it explicitly is only
+needed for traces without a jit parent event. A wrong nsteps silently
+scales every number, so prefer the auto-detection.
 """
 
 import gzip
@@ -16,6 +21,7 @@ def load_events(tracedir):
     paths = list(Path(tracedir).rglob("*.trace.json.gz"))
     assert paths, f"no trace in {tracedir}"
     ev = defaultdict(float)
+    counts = defaultdict(int)
     for path in paths:
         with gzip.open(path, "rt") as f:
             data = json.load(f)
@@ -30,7 +36,11 @@ def load_events(tracedir):
         for e in data.get("traceEvents", []):
             if e.get("ph") == "X" and e.get("pid") in pids:
                 ev[e["name"]] += e.get("dur", 0) / 1e3
-    return ev
+                counts[e["name"]] += 1
+    # traced step count = executions of the whole-program parent event
+    jit_counts = [c for n, c in counts.items() if n.startswith("jit_")]
+    nsteps_auto = max(jit_counts) if jit_counts else None
+    return ev, nsteps_auto
 
 
 def load_hlo(hlopath):
@@ -51,21 +61,26 @@ def load_hlo(hlopath):
 
 def main():
     tracedir, hlopath = sys.argv[1], sys.argv[2]
-    nsteps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     nops = int(sys.argv[4]) if len(sys.argv) > 4 else 80
-    ev = load_events(tracedir)
+    ev, nsteps_auto = load_events(tracedir)
+    nsteps = (
+        int(sys.argv[3]) if len(sys.argv) > 3 and sys.argv[3] != "auto"
+        else (nsteps_auto or 3)
+    )
+    print(f"(normalizing by nsteps={nsteps}"
+          f"{' — auto-detected' if nsteps == nsteps_auto else ''})")
     info = load_hlo(hlopath)
     rows = sorted(ev.items(), key=lambda kv: -kv[1])
     total = 0.0
     shown = 0.0
     for name, ms in rows:
-        if re.fullmatch(r"\d+", name):
-            continue  # whole-step events
+        if re.fullmatch(r"\d+", name) or name.startswith("jit_"):
+            continue  # whole-step / parent-program events double-count
         total += ms / nsteps
     print(f"total device op time {total:.2f} ms/step")
     print(f"{'ms/step':>8}  {'op':<28} {'shape':<34} path")
     for name, ms in rows[: nops + 10]:
-        if re.fullmatch(r"\d+", name):
+        if re.fullmatch(r"\d+", name) or name.startswith("jit_"):
             continue
         shape, path = info.get(name, ("?", "?"))
         per = ms / nsteps
