@@ -293,6 +293,11 @@ class Attention(nn.Module):
             and (deterministic or self.attn_drop == 0.0)
             and not self.sow_attn
         )
+        # The flat kernel's BlockSpec q/k/v views of the fused (B, N, 3A)
+        # tensor need A to be a lane-tile (128) multiple for legal Mosaic
+        # minor-dim tiling; misaligned geometries (attn_head_dim overrides,
+        # odd head counts like 3x64) take the head-major kernel instead.
+        flat_aligned = all_head_dim % 128 == 0
         if self.attn_impl == "pallas":
             # dispatcher raises on bias/dropout for explicit pallas;
             # keep that behavior for the flat path too
@@ -304,9 +309,12 @@ class Attention(nn.Module):
                 raise ValueError(
                     "attn_impl='pallas' does not support attention dropout"
                 )
-            use_flat = not self.sow_attn
+            use_flat = not self.sow_attn and flat_aligned
         elif self.attn_impl == "auto":
-            use_flat = fusable and _on_tpu() and N >= _PALLAS_MIN_SEQ
+            use_flat = (
+                fusable and _on_tpu() and N >= _PALLAS_MIN_SEQ
+                and flat_aligned
+            )
         else:
             use_flat = False
 
@@ -375,7 +383,13 @@ class Attention(nn.Module):
                 dropout_rate=self.attn_drop,
                 dropout_rng=dropout_rng,
                 deterministic=deterministic,
-                impl="xla" if self.attn_impl == "pallas" else self.attn_impl,
+                # explicit pallas lands here for sow_attn (needs
+                # materialized probs -> xla) or a misaligned flat layout
+                # (honor the request via the head-major flash kernel)
+                impl=(
+                    ("xla" if self.sow_attn else "pallas")
+                    if self.attn_impl == "pallas" else self.attn_impl
+                ),
             )  # (B, H, N, Dh)
             # explicit transpose + flat matmul beats the strided-h einsum
             # "bhne,hed->bnd" (the h contraction dim is not contiguous in

@@ -159,6 +159,205 @@ def _array_schedule(values: np.ndarray) -> Callable:
     return schedule
 
 
+class LookaheadState(NamedTuple):
+    count: jnp.ndarray
+    slow: Params
+
+
+def lookahead(k: int = 6, alpha: float = 0.5) -> optax.GradientTransformation:
+    """Lookahead wrapper (Zhang et al. 2019) as the FINAL link of a chain,
+    where updates are the actual parameter deltas. Keeps a slow-weights
+    copy; every k fast steps the fast weights are pulled toward the slow
+    weights: slow += alpha*(fast - slow); fast = slow.
+
+    Reference: timm's Lookahead wrapper, enabled by the 'lookahead_'
+    optimizer-name prefix (/root/reference/optim_factory.py:100,170-171).
+    """
+
+    def init_fn(params):
+        # real copies, not jnp.asarray: the slow weights must not alias
+        # the param buffers (train steps donate both params and opt
+        # state — aliased leaves would be donated twice)
+        return LookaheadState(
+            count=jnp.zeros([], jnp.int32),
+            slow=jax.tree.map(lambda p: jnp.array(p, copy=True), params),
+        )
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("lookahead requires params")
+        count = state.count + 1
+        sync = count % k == 0
+
+        def leaf(u, p, s):
+            fast = p + u
+            new_slow = s + alpha * (fast - s)
+            # on sync steps the delta pulls fast onto the updated slow
+            u_sync = new_slow - p
+            return (
+                jnp.where(sync, u_sync, u),
+                jnp.where(sync, new_slow, s),
+            )
+
+        pairs = jax.tree.map(leaf, updates, params, state.slow)
+        updates = jax.tree.map(lambda pr: pr[0], pairs,
+                               is_leaf=lambda x: isinstance(x, tuple))
+        slow = jax.tree.map(lambda pr: pr[1], pairs,
+                            is_leaf=lambda x: isinstance(x, tuple))
+        return updates, LookaheadState(count=count, slow=slow)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _adamp_project(p, grad, perturb, delta, wd_ratio, eps):
+    """AdamP/SGDP projection (Heo et al. 2021; timm adamp.py semantics):
+    if a parameter looks scale-invariant (grad nearly orthogonal to p in
+    a channel- or layer-wise view), remove the radial component of the
+    update and shrink its weight decay by wd_ratio. Returns
+    (projected_update, wd_ratio_leaf)."""
+    if p.ndim < 2:
+        return perturb, jnp.asarray(1.0, p.dtype)
+
+    def view_stats(x, channel: bool):
+        m = x.reshape(x.shape[0], -1) if channel else x.reshape(1, -1)
+        return m
+
+    def cosine_max(channel: bool):
+        gm = view_stats(grad, channel)
+        pm = view_stats(p, channel)
+        num = jnp.abs(jnp.sum(gm * pm, axis=1))
+        den = (
+            jnp.linalg.norm(gm, axis=1) * jnp.linalg.norm(pm, axis=1) + eps
+        )
+        return jnp.max(num / den), gm.shape[1]
+
+    def projected(channel: bool):
+        pm = view_stats(p, channel)
+        un = pm / (jnp.linalg.norm(pm, axis=1, keepdims=True) + eps)
+        um = view_stats(perturb, channel)
+        out = um - un * jnp.sum(un * um, axis=1, keepdims=True)
+        return out.reshape(p.shape)
+
+    cos_ch, dim_ch = cosine_max(True)
+    cos_ly, dim_ly = cosine_max(False)
+    use_ch = cos_ch < delta / np.sqrt(dim_ch)
+    use_ly = jnp.logical_and(
+        jnp.logical_not(use_ch), cos_ly < delta / np.sqrt(dim_ly)
+    )
+    out = jnp.where(
+        use_ch, projected(True), jnp.where(use_ly, projected(False), perturb)
+    )
+    ratio = jnp.where(use_ch | use_ly, wd_ratio, 1.0).astype(p.dtype)
+    return out, ratio
+
+
+class AdamPState(NamedTuple):
+    count: jnp.ndarray
+    mu: Params
+    nu: Params
+
+
+def scale_by_adamp(
+    wd_fn: Callable,
+    mask: Params,
+    *,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    delta: float = 0.1,
+    wd_ratio: float = 0.1,
+) -> optax.GradientTransformation:
+    """AdamP (Heo et al. 2021; timm's adamp.py, the reference's 'adamp'
+    zoo entry, /root/reference/optim_factory.py:115-117): Adam moments +
+    the scale-invariance projection on the raw gradient, decay folded in
+    as + wd(step) * wd_ratio_leaf * p (AdamP applies decay as
+    p *= 1 - lr*wd*wd_ratio; with the trailing -lr scale this addition is
+    exactly that)."""
+
+    def init_fn(params):
+        z = lambda: jax.tree.map(jnp.zeros_like, params)
+        return AdamPState(count=jnp.zeros([], jnp.int32), mu=z(), nu=z())
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("scale_by_adamp requires params")
+        count = state.count + 1
+        wd = wd_fn(state.count)
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+
+        def leaf(g, p, mu, nu, m):
+            mu = b1 * mu + (1 - b1) * g
+            nu = b2 * nu + (1 - b2) * g * g
+            denom = jnp.sqrt(nu / bc2) + eps
+            perturb = (mu / bc1) / denom
+            out, ratio = _adamp_project(p, g, perturb, delta, wd_ratio, eps)
+            if m:
+                out = out + wd * ratio * p
+            return out, mu, nu
+
+        triples = jax.tree.map(
+            leaf, updates, params, state.mu, state.nu, mask,
+            is_leaf=lambda x: x is None,
+        )
+        istriple = lambda x: isinstance(x, tuple) and len(x) == 3
+        updates = jax.tree.map(lambda t: t[0], triples, is_leaf=istriple)
+        mu = jax.tree.map(lambda t: t[1], triples, is_leaf=istriple)
+        nu = jax.tree.map(lambda t: t[2], triples, is_leaf=istriple)
+        return updates, AdamPState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+class SGDPState(NamedTuple):
+    count: jnp.ndarray
+    buf: Params
+
+
+def scale_by_sgdp(
+    wd_fn: Callable,
+    mask: Params,
+    *,
+    momentum: float = 0.9,
+    nesterov: bool = False,
+    eps: float = 1e-8,
+    delta: float = 0.1,
+    wd_ratio: float = 0.1,
+) -> optax.GradientTransformation:
+    """SGDP (same projection on top of SGD-momentum; the reference's
+    'sgdp' zoo entry, /root/reference/optim_factory.py:109-111)."""
+
+    def init_fn(params):
+        return SGDPState(
+            count=jnp.zeros([], jnp.int32),
+            buf=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("scale_by_sgdp requires params")
+        wd = wd_fn(state.count)
+
+        def leaf(g, p, buf, m):
+            buf = momentum * buf + g
+            d_p = g + momentum * buf if nesterov else buf
+            out, ratio = _adamp_project(p, g, d_p, delta, wd_ratio, eps)
+            if m:
+                out = out + wd * ratio * p
+            return out, buf
+
+        pairs = jax.tree.map(
+            leaf, updates, params, state.buf, mask,
+            is_leaf=lambda x: x is None,
+        )
+        ispair = lambda x: isinstance(x, tuple) and len(x) == 2
+        updates = jax.tree.map(lambda t: t[0], pairs, is_leaf=ispair)
+        buf = jax.tree.map(lambda t: t[1], pairs, is_leaf=ispair)
+        return updates, SGDPState(count=state.count + 1, buf=buf)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 # ---------------------------------------------------------------------------
 # Factory
 # ---------------------------------------------------------------------------
@@ -189,6 +388,11 @@ def create_optimizer(
     under XLA (it fuses) and map to their plain versions.
     """
     opt = opt.lower()
+    # timm-style 'lookahead_<opt>' prefix (optim_factory.py:100,170-171)
+    use_lookahead = False
+    if opt.startswith("lookahead_"):
+        use_lookahead = True
+        opt = opt[len("lookahead_"):]
     # apex/deepspeed fused optimizers -> plain equivalents (XLA fuses).
     opt = {
         "fusedadam": "adam",
@@ -263,6 +467,15 @@ def create_optimizer(
         moments = [optax.scale_by_belief(b1=betas[0], b2=betas[1], eps=eps)]
     elif opt == "yogi":
         moments = [optax.scale_by_yogi(b1=betas[0], b2=betas[1], eps=eps)]
+    elif opt == "adamp":
+        # folds its own (ratio-scaled) decay in — see scale_by_adamp
+        moments = [
+            scale_by_adamp(wd_fn, mask, b1=betas[0], b2=betas[1], eps=eps)
+        ]
+    elif opt == "sgdp":
+        moments = [
+            scale_by_sgdp(wd_fn, mask, momentum=momentum, nesterov=True)
+        ]
     else:
         raise ValueError(f"Unknown optimizer: {opt}")
 
@@ -283,8 +496,9 @@ def create_optimizer(
 
     # Decoupled weight decay (AdamW-style) for everything except plain adam
     # (torch Adam couples decay into the gradient; the recipes all use
-    # adamw, so we keep decoupled semantics for the rest of the zoo).
-    if opt == "adam":
+    # adamw, so we keep decoupled semantics for the rest of the zoo) and
+    # adamp/sgdp (which fold a projection-ratio-scaled decay in above).
+    if opt in ("adam", "adamp", "sgdp"):
         pass
     else:
         chain.append(add_decayed_weights_scheduled(wd_fn, mask))
@@ -303,6 +517,9 @@ def create_optimizer(
         chain.append(scale_by_leaf(freeze_scales))
 
     chain.append(optax.scale_by_schedule(lambda count: -lr_fn(count)))
+    if use_lookahead:
+        # final link: updates at this point are real parameter deltas
+        chain.append(lookahead())
     return optax.chain(*chain)
 
 

@@ -120,6 +120,11 @@ def _loss_for_batch(
         import os as _os
 
         if _os.environ.get("MOFO_TARGET_STATS") == "1":
+            # the fused-stats path always normalizes; refuse rather than
+            # silently changing loss semantics under normalize_target=False
+            assert cfg.normalize_target, (
+                "MOFO_TARGET_STATS=1 requires cfg.normalize_target=True"
+            )
             g_st, mu_st, den_st = patchify.masked_target_stats(
                 tokens_pix, masked_idx
             )

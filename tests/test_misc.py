@@ -182,3 +182,45 @@ class TestSinusoidRows:
         gb = np.asarray(sinusoid_rows(idx, 384, jnp.bfloat16), np.float32)
         rb = np.asarray(ref.astype(jnp.bfloat16), np.float32)
         assert np.mean(gb != rb) < 0.02
+
+
+class TestBenchBackendRetry:
+    """bench.py must survive a transient relay flap (VERDICT r03: two
+    capture windows in a row were lost to UNAVAILABLE backend init)."""
+
+    def test_recovers_after_one_flap(self):
+        import bench
+
+        calls = {"n": 0}
+
+        def flaky_probe():
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError(
+                    "Unable to initialize backend 'axon': UNAVAILABLE"
+                )
+            return 1.0
+
+        bench.init_backend_with_retry(
+            attempts=3, backoff_s=0.0, probe=flaky_probe
+        )
+        assert calls["n"] == 2
+
+    def test_structured_error_on_outage(self, capsys):
+        import json
+
+        import bench
+
+        def dead_probe():
+            raise RuntimeError("UNAVAILABLE: TPU backend setup error")
+
+        with pytest.raises(SystemExit) as exc:
+            bench.init_backend_with_retry(
+                attempts=2, backoff_s=0.0, probe=dead_probe
+            )
+        assert exc.value.code == 1
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        rec = json.loads(line)
+        assert rec["error"] == "backend_unavailable"
+        assert rec["vs_baseline"] == 0.0
+        assert "UNAVAILABLE" in rec["extra"]["last_error"]

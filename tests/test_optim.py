@@ -202,6 +202,7 @@ class TestZoo:
             "radam", "novograd", "adamax", "adagrad", "adabelief",
             "yogi", "fusedadam", "fusedadamw", "fusedsgd", "fusedlamb",
             "fusednovograd", "nvnovograd", "fusedmomentum",
+            "adamp", "sgdp", "lookahead_adamw", "lookahead_sgd",
         ]
         params = {"w": jnp.ones((4, 4)), "bias": jnp.zeros((4,))}
         g = jax.tree.map(lambda p: jnp.full_like(p, 0.5), params)
@@ -280,3 +281,142 @@ class TestFreeze:
                 lr_schedule=np.array([0.1] * 10),
                 trainable=lambda path, leaf: False,
             )
+
+
+class TestAdamP:
+    """adamp/sgdp vs a numpy transcription of the published AdamP
+    algorithm (Heo et al. 2021; timm adamp.py — the reference zoo's
+    'adamp'/'sgdp' entries, optim_factory.py:109-117)."""
+
+    @staticmethod
+    def _adamp_ref(p0, grads, lr, wd, b1=0.9, b2=0.999, eps=1e-8,
+                   delta=0.1, wd_ratio=0.1):
+        p = p0.astype(np.float64).copy()
+        mu = np.zeros_like(p)
+        nu = np.zeros_like(p)
+        for t, g in enumerate(grads, 1):
+            g = g.astype(np.float64)
+            mu = b1 * mu + (1 - b1) * g
+            nu = b2 * nu + (1 - b2) * g * g
+            perturb = (mu / (1 - b1**t)) / (np.sqrt(nu / (1 - b2**t)) + eps)
+            ratio = 1.0
+            if p.ndim >= 2:
+                for channel in (True, False):
+                    shape = (p.shape[0], -1) if channel else (1, -1)
+                    pm = p.reshape(shape)
+                    gm = g.reshape(shape)
+                    cos = np.abs((gm * pm).sum(1)) / (
+                        np.linalg.norm(gm, axis=1)
+                        * np.linalg.norm(pm, axis=1) + eps
+                    )
+                    if cos.max() < delta / np.sqrt(pm.shape[1]):
+                        un = pm / (
+                            np.linalg.norm(pm, axis=1, keepdims=True) + eps
+                        )
+                        um = perturb.reshape(shape)
+                        perturb = (
+                            um - un * (un * um).sum(1, keepdims=True)
+                        ).reshape(p.shape)
+                        ratio = wd_ratio
+                        break
+            p = p * (1 - lr * wd * ratio) - lr * perturb
+        return p
+
+    def test_matches_numpy_reference(self):
+        import optax
+
+        rng = np.random.RandomState(0)
+        # w_inv: scale-invariant-looking leaf (grads ~ orthogonal to p);
+        # w_reg: strongly radial grads (projection must NOT trigger)
+        p0 = {"w_inv": rng.randn(4, 8).astype(np.float32),
+              "w_reg": rng.randn(4, 8).astype(np.float32)}
+        grads = []
+        for _ in range(5):
+            g_inv = rng.randn(4, 8).astype(np.float32)
+            pm = p0["w_inv"]
+            g_inv -= pm * (g_inv * pm).sum() / (pm * pm).sum()  # de-radialize
+            grads.append({"w_inv": g_inv, "w_reg": 3.0 * p0["w_reg"]})
+
+        lr, wd = 0.01, 0.05
+        tx = optim.create_optimizer(
+            jax.tree.map(jnp.asarray, p0),
+            lr_schedule=np.array([lr] * 8), opt="adamp", weight_decay=wd,
+        )
+        params = jax.tree.map(jnp.asarray, p0)
+        st = tx.init(params)
+        for g in grads:
+            upd, st = tx.update(jax.tree.map(jnp.asarray, g), st, params)
+            params = optax.apply_updates(params, upd)
+
+        for key in p0:
+            ref = self._adamp_ref(
+                p0[key], [g[key] for g in grads], lr, wd
+            )
+            np.testing.assert_allclose(
+                np.asarray(params[key]), ref, rtol=2e-5, atol=2e-6,
+                err_msg=key,
+            )
+
+    def test_projection_triggers_only_when_scale_invariant(self):
+        # orthogonal grad + projected update stays orthogonal to p rows
+        rng = np.random.RandomState(1)
+        p = jnp.asarray(rng.randn(3, 16).astype(np.float32))
+        g = rng.randn(3, 16).astype(np.float32)
+        gn = g - np.asarray(p) * (g * np.asarray(p)).sum(
+            1, keepdims=True
+        ) / (np.asarray(p) ** 2).sum(1, keepdims=True)
+        out, ratio = optim._adamp_project(
+            p, jnp.asarray(gn), jnp.asarray(gn), 0.1, 0.1, 1e-8
+        )
+        assert abs(float(ratio) - 0.1) < 1e-6
+        dots = np.abs((np.asarray(out) * np.asarray(p)).sum(1))
+        assert (dots < 1e-4).all()
+        # radial grad: untouched
+        out2, ratio2 = optim._adamp_project(
+            p, 2.0 * p, 2.0 * p, 0.1, 0.1, 1e-8
+        )
+        assert float(ratio2) == 1.0
+        np.testing.assert_allclose(np.asarray(out2), 2.0 * np.asarray(p))
+
+    def test_sgdp_steps_and_projects(self):
+        import optax
+
+        params = {"w": jnp.ones((4, 4)) / 4.0}
+        tx = optim.create_optimizer(
+            params, lr_schedule=np.array([0.1] * 4), opt="sgdp",
+            weight_decay=0.01,
+        )
+        st = tx.init(params)
+        g = {"w": jnp.full((4, 4), 0.5)}
+        upd, st = tx.update(g, st, params)
+        new = optax.apply_updates(params, upd)
+        assert np.isfinite(np.asarray(new["w"])).all()
+        assert not np.allclose(np.asarray(new["w"]), np.asarray(params["w"]))
+
+
+class TestLookahead:
+    def test_matches_numpy_twin(self):
+        import optax
+
+        k, alpha, lr = 3, 0.5, 0.1
+        tx = optax.chain(optax.scale(-lr), optim.lookahead(k=k, alpha=alpha))
+        p0 = np.arange(6, dtype=np.float32).reshape(2, 3) / 5.0
+        params = {"w": jnp.asarray(p0)}
+        st = tx.init(params)
+        rng = np.random.RandomState(2)
+        grads = [rng.randn(2, 3).astype(np.float32) for _ in range(8)]
+
+        fast = p0.copy()
+        slow = p0.copy()
+        for t, g in enumerate(grads, 1):
+            fast = fast - lr * g
+            if t % k == 0:
+                slow = slow + alpha * (fast - slow)
+                fast = slow.copy()
+
+        for g in grads:
+            upd, st = tx.update({"w": jnp.asarray(g)}, st, params)
+            params = optax.apply_updates(params, upd)
+        np.testing.assert_allclose(
+            np.asarray(params["w"]), fast, rtol=1e-6, atol=1e-7
+        )
