@@ -116,7 +116,9 @@ def main():
     from mofo_tpu.train.train_state import TrainState
 
     enable_compilation_cache()
-    B = int(os.environ.get("MOFO_BENCH_BATCH", "48"))
+    # B=80 is the measured throughput peak with tanh GELU (r4 sweep,
+    # docs/ab_r4.jsonl: 40/48/56/64/72/80/96/112 → 446.6 c/s at 80)
+    B = int(os.environ.get("MOFO_BENCH_BATCH", "80"))
     # The full MOFO step: motion-BB tube masking from per-frame boxes +
     # the gradual in-box loss upweighting — not the plain VideoMAE step.
     cfg = PretrainConfig(
@@ -144,47 +146,15 @@ def main():
         params, lr_schedule=lr, betas=(0.9, 0.95), weight_decay=0.05
     )
     state = TrainState.create(params, tx)
-    # Input contract experiments:
-    #   MOFO_BENCH_CLIP=bf16  — ship clips in the compute dtype (in the
-    #     production program the decode->augment chain runs INSIDE the
-    #     step from uint8, so the f32->bf16 convert fuses into the
-    #     augment's normalize; a resident f32 batch makes the step pay a
-    #     dedicated full-size convert pass the real pipeline doesn't).
-    #   MOFO_BENCH_LAYOUT=auto — let XLA choose ENTRY layouts
-    #     (jax.experimental.layout AUTO) and device_put the batch into
-    #     them, deleting the input relayout copy the patchify transpose
-    #     otherwise forces (copy.75, 1.8 ms/step in the r3 trace); a
-    #     production loader does the same at its device_put boundary.
-    if os.environ.get("MOFO_BENCH_CLIP") == "bf16":
-        clip = clip.astype(jnp.bfloat16)
+    # (Two measured-neutral input-contract experiments were deleted after
+    # the r4 full-step A/B — docs/ab_r4.jsonl: bf16-resident clips
+    # 122.2 vs 122.5 ms, AUTO entry layouts 123.7 ms, a LOSS.)
     # donate state like the CLI does (cli/pretrain.py) so XLA updates
     # params/moments in place instead of allocating fresh buffers
     batch = {"clip": clip, "boxes": boxes}
     rng = jax.random.PRNGKey(2)
     step_fn = make_pretrain_step(model, tx, cfg, lr)
-    if os.environ.get("MOFO_BENCH_LAYOUT") == "auto":
-        from jax.experimental.layout import Format, Layout
-
-        jitted = jax.jit(
-            step_fn, donate_argnums=(0,),
-            in_shardings=Format(Layout.AUTO),
-            out_shardings=Format(Layout.AUTO),
-        )
-        comp = jitted.lower(state, batch, rng, 0.5).compile()
-        fmts = comp.input_formats[0]
-        flat, treedef = jax.tree.flatten((state, batch, rng, 0.5))
-        # default flatten drops None leaves, matching the args tree
-        # (ema_params=None)
-        flat_f = jax.tree.flatten(fmts)[0]
-        assert len(flat) == len(flat_f), (len(flat), len(flat_f))
-        flat = [
-            x if fm is None or fm.layout is None else jax.device_put(x, fm)
-            for x, fm in zip(flat, flat_f)
-        ]
-        state, batch, rng, _ = jax.tree.unflatten(treedef, flat)
-        step = comp
-    else:
-        step = jax.jit(step_fn, donate_argnums=(0,))
+    step = jax.jit(step_fn, donate_argnums=(0,))
 
     # warmup + compile; fetch a scalar to force completion (through the
     # relay, block_until_ready can return early — only an output fetch

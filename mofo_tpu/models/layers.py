@@ -23,7 +23,6 @@ Layout convention: activations are channel-last video clips (B, T, H, W, C)
 from __future__ import annotations
 
 import functools
-import os
 from typing import Any, Callable, Optional, Sequence
 
 import flax.linen as nn
@@ -32,7 +31,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from mofo_tpu.ops.attention import dot_product_attention
-from mofo_tpu.ops.fused_ln import ln_linear, manual_layer_norm
 
 Array = jax.Array
 Dtype = Any
@@ -64,26 +62,6 @@ def get_sinusoid_encoding_table(n_position: int, d_hid: int) -> Array:
     return jnp.asarray(_sinusoid_table_np(n_position, d_hid))[None]
 
 
-def sinusoid_rows(idx: Array, d_hid: int, dtype) -> Array:
-    """Sinusoid positional rows evaluated AT integer positions idx (B, M)
-    -> (B, M, d_hid), equal to gathering get_sinusoid_encoding_table.
-
-    cos(x) = sin(x + pi/2) folds the even/odd split into one phase
-    vector, so the whole thing is one broadcast fma + one sin pass —
-    cheaper than the 768-byte-row gather the table path costs per step
-    (0.59 ms at the ViT-B decoder geometry). f32 `sin` differs from the
-    table's float64 numpy by ULPs, so the bit-parity f32 path keeps the
-    table; use this for bf16 compute only.
-    """
-    j = np.arange(d_hid)
-    inv_freq = 1.0 / np.power(10000.0, 2.0 * np.floor(j / 2.0) / d_hid)
-    phase = (j % 2) * (np.pi / 2.0)
-    ang = (idx.astype(jnp.float32)[..., None]
-           * jnp.asarray(inv_freq, jnp.float32)
-           + jnp.asarray(phase, jnp.float32))
-    return jnp.sin(ang).astype(dtype)
-
-
 def drop_path(
     x: Array, rate: float, deterministic: bool, rng: Optional[Array]
 ) -> Array:
@@ -107,70 +85,6 @@ class DropPath(nn.Module):
         return drop_path(x, self.rate, deterministic, rng)
 
 
-class _LNParams(nn.Module):
-    """Declares LayerNorm scale/bias under this module's name WITHOUT
-    applying the norm, so Block can hand the parameters to the fused
-    LN+matmul kernel (ops/fused_ln.ln_linear). The parameter tree is
-    identical to nn.LayerNorm(name=...), so checkpoints are
-    interchangeable between the fused and unfused paths."""
-
-    dim: int
-
-    @nn.compact
-    def __call__(self):
-        scale = self.param(
-            "scale", nn.initializers.ones, (self.dim,), jnp.float32
-        )
-        bias = self.param(
-            "bias", nn.initializers.zeros, (self.dim,), jnp.float32
-        )
-        return scale, bias
-
-
-class _DenseParams(nn.Module):
-    """Declares Dense kernel/bias (same tree as nn.Dense(name=...))
-    for consumption by a fused kernel."""
-
-    features_in: int
-    features_out: int
-    kernel_init: Callable = nn.initializers.xavier_uniform()
-
-    @nn.compact
-    def __call__(self):
-        kernel = self.param(
-            "kernel", self.kernel_init,
-            (self.features_in, self.features_out), jnp.float32,
-        )
-        bias = self.param(
-            "bias", nn.initializers.zeros, (self.features_out,),
-            jnp.float32,
-        )
-        return kernel, bias
-
-
-@functools.lru_cache(maxsize=1)
-def _fuse_ln_sites() -> frozenset:
-    """Which Block LN sites run through the fused LN+matmul kernel.
-
-    Default: NONE. Measured on v5e (full ViT-B MOFO step, B=48): the
-    fused kernel wins standalone microbenches at two of four sites, but
-    in-step it LOSES everywhere — qkv 151.9 -> 157.3 ms, fc1 -> 173.3 ms
-    — because each pallas_call is a fusion boundary: unfused, XLA folds
-    the LN into neighboring elementwise work and shares its backward
-    with the rest of the graph. Kept as MOFO_FUSE_LN for experiments on
-    other topologies: "1"/"qkv,fc1", or a comma subset of {qkv, fc1}.
-    """
-    env = os.environ.get("MOFO_FUSE_LN")
-    if env is not None:
-        env = env.strip().lower()
-        if env in ("0", "none", ""):
-            return frozenset()
-        if env == "1":
-            return frozenset({"qkv", "fc1"})
-        return frozenset(s.strip() for s in env.split(","))
-    return frozenset()
-
-
 class Mlp(nn.Module):
     """fc1 -> GELU(exact) -> fc2 -> dropout. Reference modeling_finetune.py:34-51."""
 
@@ -185,39 +99,24 @@ class Mlp(nn.Module):
         self,
         x: Array,
         deterministic: bool = True,
-        ln: Optional[tuple] = None,
     ) -> Array:
-        if ln is not None:
-            # fused LayerNorm(x) @ fc1 (x enters RAW — the caller skipped
-            # its norm2); same param tree as nn.Dense(name="fc1")
-            k1, b1 = _DenseParams(
-                x.shape[-1], self.hidden_features,
-                kernel_init=self.kernel_init, name="fc1",
-            )()
-            x = ln_linear(
-                x, ln[0], ln[1], k1.astype(self.dtype),
-                b1.astype(self.dtype), out_dtype=self.dtype,
-            )
-        else:
-            x = nn.Dense(
-                self.hidden_features,
-                dtype=self.dtype,
-                kernel_init=self.kernel_init,
-                bias_init=nn.initializers.zeros,
-                name="fc1",
-            )(x)
-        # torch nn.GELU default is the exact erf formulation. XLA lowers
-        # erf as a ~40-op branchy f32 erfc polynomial — the dominant VPU
-        # cost of the fc1 fusion at the ViT-B decoder shape (r3 trace).
-        # MOFO_GELU=tanh switches bf16 callers to the tanh form computed
-        # in f32: max deviation from exact GELU is 4.7e-4 absolute (a
-        # last-bit bf16 flip on a minority of elements — a DOCUMENTED
-        # non-parity fast option; see docs/PERF.md). f32 callers (the
-        # bit-parity path) always use exact erf.
-        import os
-
-        if (os.environ.get("MOFO_GELU") == "tanh"
-                and self.dtype == jnp.bfloat16):
+        x = nn.Dense(
+            self.hidden_features,
+            dtype=self.dtype,
+            kernel_init=self.kernel_init,
+            bias_init=nn.initializers.zeros,
+            name="fc1",
+        )(x)
+        # torch nn.GELU default is the exact erf formulation, which XLA
+        # lowers as a ~40-op branchy f32 erfc polynomial. In bf16 steps
+        # the tanh form computed in f32 is used instead: measured -10.4
+        # ms on the full ViT-B MOFO step (122.5 -> 112.0, the single
+        # biggest r4 win; docs/ab_r4.jsonl gelu_tanh) with max deviation
+        # from exact GELU 4.7e-4 absolute — a last-bit bf16 flip on a
+        # minority of elements, and a 50-step convergence A/B tracks the
+        # erf+f32 reference (docs/PERF.md). f32 callers (the bit-parity
+        # path vs the torch reference) always use exact erf.
+        if self.dtype == jnp.bfloat16:
             x = nn.gelu(
                 x.astype(jnp.float32), approximate=True
             ).astype(self.dtype)
@@ -261,7 +160,6 @@ class Attention(nn.Module):
         x: Array,
         deterministic: bool = True,
         attn_bias: Optional[Array] = None,
-        ln: Optional[tuple] = None,
     ) -> Array:
         B, N, _ = x.shape
         head_dim = self.attn_head_dim or self.dim // self.num_heads
@@ -318,29 +216,19 @@ class Attention(nn.Module):
         else:
             use_flat = False
 
-        # qkv projection, shared by both layouts. With ln, x enters RAW
-        # (the caller skipped norm1) and LayerNorm + projection run as one
-        # fused Pallas kernel — the normalized activation never makes an
-        # HBM round-trip.
+        # qkv projection, shared by both layouts: one flat matmul into
+        # the fused [q | k | v] layout, heads contiguous
         bias_flat = None
         if self.qkv_bias:
             bias_flat = jnp.concatenate(
                 [q_bias, jnp.zeros_like(q_bias), v_bias]
             ).astype(self.dtype)
-        if ln is not None:
-            if bias_flat is None:
-                bias_flat = jnp.zeros((3 * all_head_dim,), self.dtype)
-            qkv = ln_linear(
-                x, ln[0], ln[1], qkv_kernel.astype(self.dtype),
-                bias_flat, out_dtype=self.dtype,
-            )  # (B, N, 3*H*Dh), laid out [q | k | v], heads contiguous
-        else:
-            qkv = jnp.einsum(
-                "bnd,de->bne", x, qkv_kernel.astype(self.dtype),
-                preferred_element_type=self.dtype,
-            )
-            if bias_flat is not None:
-                qkv = qkv + bias_flat
+        qkv = jnp.einsum(
+            "bnd,de->bne", x, qkv_kernel.astype(self.dtype),
+            preferred_element_type=self.dtype,
+        )
+        if bias_flat is not None:
+            qkv = qkv + bias_flat
 
         if use_flat:
             from mofo_tpu.ops.flash_attention import flash_attention_qkv
@@ -524,22 +412,16 @@ class Block(nn.Module):
     kernel_init: Callable = nn.initializers.xavier_uniform()
     attn_impl: str = "auto"
     sow_attn: bool = False
-    fuse_ln: Optional[bool] = None  # None = auto (_fuse_ln_sites)
+    # (A fused Pallas LN+matmul variant of norm1/norm2 was built and
+    # measured OFF: each pallas_call is an XLA fusion boundary, and
+    # unfused LN folds into neighboring elementwise work — qkv site
+    # 151.9 -> 157.3 ms, fc1 -> 173.3 ms on the full step. Deleted;
+    # history in docs/PERF.md.)
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         in_dtype = x.dtype
-        if self.fuse_ln is None:
-            sites = _fuse_ln_sites()
-        else:
-            sites = frozenset({"qkv", "fc1"}) if self.fuse_ln else frozenset()
-
-        if "qkv" in sites:
-            ln1 = _LNParams(self.dim, name="norm1")()
-            attn_in = x
-        else:
-            ln1 = None
-            attn_in = _layer_norm(x, self.dtype, name="norm1")
+        attn_in = _layer_norm(x, self.dtype, name="norm1")
         attn_out = Attention(
             dim=self.dim,
             num_heads=self.num_heads,
@@ -556,7 +438,6 @@ class Block(nn.Module):
         )(
             attn_in,
             deterministic=deterministic,
-            ln=ln1,
         )
         if self.init_values > 0:
             gamma_1 = self.param(
@@ -570,12 +451,7 @@ class Block(nn.Module):
             attn_out, deterministic=deterministic
         )
 
-        if "fc1" in sites:
-            ln2 = _LNParams(self.dim, name="norm2")()
-            mlp_in = x
-        else:
-            ln2 = None
-            mlp_in = _layer_norm(x, self.dtype, name="norm2")
+        mlp_in = _layer_norm(x, self.dtype, name="norm2")
         mlp_out = Mlp(
             hidden_features=int(self.dim * self.mlp_ratio),
             out_features=self.dim,
@@ -586,7 +462,6 @@ class Block(nn.Module):
         )(
             mlp_in,
             deterministic=deterministic,
-            ln=ln2,
         )
         if self.init_values > 0:
             gamma_2 = self.param(
@@ -685,23 +560,10 @@ class MCABlock(nn.Module):
 
 
 def _layer_norm(x: Array, dtype: Dtype, name: str) -> Array:
-    """LayerNorm(eps=1e-6) computed in float32, output cast to compute dtype.
-
-    MOFO_LN=mm routes bf16 inputs through the MXU-statistics variant
-    (ops/fused_ln.mm_stats_layer_norm — XLA's cross-lane stat reduces run
-    at 3-6x their bandwidth floor on v5e); the parameter tree is identical
-    (_LNParams), so checkpoints interchange."""
-    import os
-
-    mode = os.environ.get("MOFO_LN")
-    if mode in ("mm", "mmvjp") and x.dtype == jnp.bfloat16:
-        from mofo_tpu.ops.fused_ln import (
-            mm_stats_layer_norm, mmvjp_layer_norm,
-        )
-
-        scale, bias = _LNParams(x.shape[-1], name=name)()
-        fn = mmvjp_layer_norm if mode == "mmvjp" else mm_stats_layer_norm
-        return fn(x, scale, bias, dtype=dtype)
+    """LayerNorm(eps=1e-6) computed in float32, output cast to compute
+    dtype. (MXU-statistics variants that computed the reduces as matmuls
+    measured SLOWER on the full step — mm 126.1 ms, mmvjp 123.4 vs 122.5
+    plain, docs/ab_r4.jsonl — and were deleted; XLA's fused LN wins.)"""
     y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name=name)(x)
     return y.astype(dtype)
 
@@ -756,47 +618,11 @@ class PatchEmbed(nn.Module):
             "bias", nn.initializers.zeros, (self.embed_dim,), jnp.float32
         )
         if x.ndim == 5:
-            # direct conv path (experiment, MOFO_EMBED_CONV=1): let the
-            # TPU convolution emitter handle the patch extraction instead
-            # of the explicit token-major transpose. Same math: the
-            # (patch_dim, D) kernel reshapes to DHWIO with the (p0, p1,
-            # p2, c) row order this module documents. MEASURED DEAD END
-            # on v5e: 171.5 ms full MOFO step vs 129.7 for the
-            # reshape+matmul path (the conv emitter's internal relayout
-            # is far worse than the explicit transpose) — keep OFF.
-            import os
-
+            # (Letting the TPU conv emitter or a multi-contracting-dim
+            # dot_general do the patch extraction measured 171.5 / 168.4
+            # ms full step vs 129.7 for this explicit reshape+matmul —
+            # deleted; history in docs/PERF.md.)
             B, T, H, W, C = x.shape
-            mode = os.environ.get("MOFO_EMBED_CONV")
-            if mode == "1":
-                kdhwio = kernel.reshape(
-                    p0, p, p, self.in_chans, self.embed_dim
-                )
-                y = jax.lax.conv_general_dilated(
-                    x.astype(self.dtype),
-                    kdhwio.astype(self.dtype),
-                    window_strides=(p0, p, p),
-                    padding="VALID",
-                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                    preferred_element_type=self.dtype,
-                )  # (B, t, h, w, D)
-                y = y.reshape(B, self.num_patches, self.embed_dim)
-                return y + bias.astype(self.dtype)
-            if mode == "dotg":
-                # multi-contracting-dim dot_general on the strided 8-D
-                # view — lets XLA pick the relayout instead of our
-                # explicit transpose
-                t, h, w = T // p0, H // p, W // p
-                x8 = x.reshape(B, t, p0, h, p, w, p, C)
-                k5 = kernel.reshape(p0, p, p, self.in_chans,
-                                    self.embed_dim)
-                y = jax.lax.dot_general(
-                    x8.astype(self.dtype), k5.astype(self.dtype),
-                    (((2, 4, 6, 7), (0, 1, 2, 3)), ((), ())),
-                    preferred_element_type=self.dtype,
-                )  # (B, t, h, w, D)
-                y = y.reshape(B, self.num_patches, self.embed_dim)
-                return y + bias.astype(self.dtype)
             t, h, w = T // p0, H // p, W // p
             x = x.reshape(B, t, p0, h, p, w, p, C)
             x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)

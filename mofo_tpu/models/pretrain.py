@@ -258,35 +258,23 @@ class PretrainVisionTransformer(nn.Module):
 
         # Decoder positional table at decoder width; gathered to follow the
         # (shuffled-visible ++ masked) token order, reference lines 258-263.
-        import os
-
-        if (os.environ.get("MOFO_POS") == "arith"
-                and self.dtype == jnp.bfloat16):
-            # evaluate the sinusoid AT the indices (one sin pass) instead
-            # of gathering 768-byte rows from the broadcast table; bf16
-            # only — the f32 bit-parity path keeps the float64-built table
-            from mofo_tpu.models.layers import sinusoid_rows
-
-            pos_vis = sinusoid_rows(
-                vis_idx, self.decoder_embed_dim, self.dtype
-            )
-            pos_mask = sinusoid_rows(
-                masked_idx, self.decoder_embed_dim, self.dtype
-            )
-        else:
-            pos_dec = get_sinusoid_encoding_table(
-                self.num_patches, self.decoder_embed_dim
-            ).astype(self.dtype)
-            B = x.shape[0]
-            pos_dec = jnp.broadcast_to(
-                pos_dec, (B,) + pos_dec.shape[1:]
-            )
-            pos_vis = jnp.take_along_axis(
-                pos_dec, vis_idx[..., None], axis=1
-            )
-            pos_mask = jnp.take_along_axis(
-                pos_dec, masked_idx[..., None], axis=1
-            )
+        # (An arithmetic variant that evaluated the sinusoid AT the indices
+        # instead of gathering table rows was full-step NEUTRAL — 122.4/
+        # 122.6 vs 122.5 ms, docs/ab_r4.jsonl pos_arith — and was deleted;
+        # the float64-built table is the bit-parity construction.)
+        pos_dec = get_sinusoid_encoding_table(
+            self.num_patches, self.decoder_embed_dim
+        ).astype(self.dtype)
+        B = x.shape[0]
+        pos_dec = jnp.broadcast_to(
+            pos_dec, (B,) + pos_dec.shape[1:]
+        )
+        pos_vis = jnp.take_along_axis(
+            pos_dec, vis_idx[..., None], axis=1
+        )
+        pos_mask = jnp.take_along_axis(
+            pos_dec, masked_idx[..., None], axis=1
+        )
 
         x_full = jnp.concatenate(
             [x_vis + pos_vis, mask_token + pos_mask], axis=1

@@ -26,8 +26,8 @@ Array = jax.Array
 # 160-token pretrain encoder through the multihead flash kernel instead
 # of XLA attention cut the full ViT-B MOFO step 151.9 -> 146.1 ms on
 # v5e (the XLA path round-trips B*H*N^2 logits+probs through HBM even
-# at short N). MOFO_PALLAS_MIN_SEQ overrides for experiments.
-_PALLAS_MIN_SEQ = int(os.environ.get("MOFO_PALLAS_MIN_SEQ", "128"))
+# at short N).
+_PALLAS_MIN_SEQ = 128
 
 
 def _on_tpu() -> bool:

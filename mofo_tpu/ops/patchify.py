@@ -124,44 +124,14 @@ def patchify_flat(
     B, T, H, W, C = clip.shape
     p0, p = tubelet_size, patch_size
     t, h, w = T // p0, H // p, W // p
-    # Formulation A/B'd on v5e at the ViT-B geometry (B=48 full step):
-    #   7-D with (p2, C) pre-merged   123.05 ms  <- default
+    # Formulation A/B'd on v5e at the ViT-B geometry (B=48 full step),
+    # losers deleted (full history in docs/PERF.md):
+    #   7-D with (p2, C) pre-merged   123.05 ms  <- this implementation
     #   8-D canonical                 124.0
     #   (B, t) leading-merge 6-D      128.4
+    #   lax.reshape w/ dimensions     122.5 (neutral, r4 full-step A/B)
     #   i32-pair bitcast transpose    140.4  (breaks producer fusion)
     #   two-permute split (round 1)   130.5 vs 130.2 (same schedule)
-    # MOFO_PATCHIFY=8d/bt re-runs the alternatives.
-    import os
-
-    variant = os.environ.get("MOFO_PATCHIFY", "7d")
-    if variant == "lr":
-        # transpose + minor-merge folded into ONE reshape HLO
-        # (lax.reshape's `dimensions` argument): gives XLA a single op to
-        # lay out instead of a transpose whose output layout then forces
-        # a second copy at the (t,h,w)/(p0,p1,p2C) merge.
-        x = clip.reshape(B, t, p0, h, p, w, p * C)
-        return jax.lax.reshape(
-            x, (B, t * h * w, p0 * p * p * C),
-            dimensions=(0, 1, 3, 5, 2, 4, 6),
-        )
-    if variant == "i32" and clip.dtype == jnp.bfloat16 and (p * C) % 2 == 0:
-        # transpose on 32-bit lanes: pack bf16 pairs into i32 so the
-        # permutation moves half the elements at twice the width (the
-        # bf16 T(8,128)(2,1) sub-tiling makes narrow-type transposes
-        # slower); bitcasts are free metadata ops
-        x = clip.reshape(B, t, p0, h, p, w, (p * C) // 2, 2)
-        xi = jax.lax.bitcast_convert_type(x, jnp.int32)
-        xi = xi.transpose(0, 1, 3, 5, 2, 4, 6)
-        xb = jax.lax.bitcast_convert_type(xi, jnp.bfloat16)
-        return xb.reshape(B, t * h * w, p0 * p * p * C)
-    if variant == "bt":
-        x = clip.reshape(B * t, p0, h, p, w, p * C)
-        x = x.transpose(0, 2, 4, 1, 3, 5)  # (Bt,h,w,p0,p1,p2C)
-        return x.reshape(B, t * h * w, p0 * p * p * C)
-    if variant == "8d":
-        x = clip.reshape(B, t, p0, h, p, w, p, C)
-        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # (B,t,h,w,p0,p1,p2,C)
-        return x.reshape(B, t * h * w, p0 * p * p * C)
     x = clip.reshape(B, t, p0, h, p, w, p * C)
     x = x.transpose(0, 1, 3, 5, 2, 4, 6)  # (B,t,h,w,p0,p1,p2C)
     return x.reshape(B, t * h * w, p0 * p * p * C)
@@ -254,18 +224,9 @@ def normalize_patch_rows(
     # tensors materialize in compute_dtype (bf16 in bf16 steps — the
     # per-channel stats are exact f32; only their D-wide broadcast
     # narrows), halving their HBM traffic.
-    import os
-
-    if os.environ.get("MOFO_STATS_BCAST") == "4d":
-        # A/B alternative: broadcast the (B, M, C) stats through a 4-D
-        # bitcast view instead of selector matmuls (no materialized
-        # D-wide stat tensors). Round-2: 134.5 vs 131.2 ms (two layout
-        # copies); round-3 re-measure: 127.1 vs 122.7 ms. Still off.
-        B_, M_ = g.shape[:2]
-        g4 = g.astype(acc).reshape(B_, M_, npos, channels)
-        out4 = (g4 - mu[:, :, None, :].astype(acc)) \
-            / denom[:, :, None, :].astype(acc)
-        return out4.reshape(B_, M_, D).astype(compute_dtype)
+    # (The 4-D reshape stat-broadcast alternative measured slower twice
+    # — 134.5 vs 131.2 ms r2, 127.1 vs 122.7 ms r3 — and was deleted;
+    # history in docs/PERF.md.)
     fsel = sel.astype(acc)
     if compute_dtype == jnp.bfloat16:
         # fold the normalization into one fma: a = 1/denom, b = -mu/denom
@@ -292,104 +253,6 @@ def normalize_patch_rows(
     out = ((g.astype(acc) - mu_d.astype(acc))
            / denom_d.astype(acc))
     return out.astype(compute_dtype)
-
-
-def masked_target_stats(
-    tokens_pix: Array,
-    mask_indices: Array,
-    *,
-    channels: int = 3,
-    input_normalized: bool = True,
-    mean: Tuple[float, ...] = constants.IMAGENET_DEFAULT_MEAN,
-    std: Tuple[float, ...] = constants.IMAGENET_DEFAULT_STD,
-) -> Tuple[Array, Array, Array]:
-    """Gathered masked pixels + their per-patch per-channel stats, WITHOUT
-    materializing normalized targets.
-
-    Returns (g, mu, denom): g (B, M, D) un-normalized pixels in the input
-    dtype, mu/denom (B, M, C) f32. Pair with masked_norm_mse_loss, which
-    applies (g - mu) / denom inside the loss fusion — the (B, M, D)
-    normalized-target tensor never hits HBM (the reference materializes
-    it under no_grad each step, engine_for_pretraining.py:43-63; the
-    separate masked_normalized_targets path remains for parity tests)."""
-    D = tokens_pix.shape[-1]
-    npos = D // channels
-    wdt = tokens_pix.dtype if tokens_pix.dtype == jnp.bfloat16 \
-        else jnp.float32
-    g = jnp.take_along_axis(
-        tokens_pix, mask_indices[..., None], axis=1
-    ).astype(wdt)  # (B, M, D)
-    if input_normalized:
-        s_vec = jnp.tile(jnp.asarray(std, wdt), npos)
-        m_vec = jnp.tile(jnp.asarray(mean, wdt), npos)
-        g = g * s_vec + m_vec
-    sel = jnp.asarray(
-        (jnp.arange(D)[:, None] % channels)
-        == jnp.arange(channels)[None, :],
-        wdt,
-    )
-    sums = jnp.einsum("bmd,dc->bmc", g, sel,
-                      preferred_element_type=jnp.float32)
-    sqs = jnp.einsum("bmd,dc->bmc",
-                     (g.astype(jnp.float32) * g).astype(wdt), sel,
-                     preferred_element_type=jnp.float32)
-    mu = sums / npos
-    var = (sqs - npos * mu * mu) / (npos - 1)  # unbiased
-    denom = jnp.sqrt(jnp.maximum(var, 0.0)) + 1e-6
-    return g, mu, denom
-
-
-def masked_norm_mse_loss(
-    pred: Array,
-    g: Array,
-    mu: Array,
-    denom: Array,
-    weights: Optional[Array] = None,
-) -> Array:
-    """MSE against per-patch-normalized targets computed on the fly.
-
-    pred: (B, M, D); g/mu/denom from masked_target_stats. The 4-D views
-    are bitcast reshapes (D = npos*C splits the minor axis), so the whole
-    normalized-target comparison fuses into one reduction — no (B, M, D)
-    target tensor, no broadcast matmuls. Same math as
-    masked_mse_loss(pred, masked_normalized_targets(...))."""
-    B, M, D = pred.shape
-    C = mu.shape[-1]
-    npos = D // C
-    p4 = pred.astype(jnp.float32).reshape(B, M, npos, C)
-    g4 = g.astype(jnp.float32).reshape(B, M, npos, C)
-    t4 = (g4 - mu[:, :, None, :]) / denom[:, :, None, :]
-    err = jnp.square(p4 - t4)
-    if weights is None:
-        return jnp.mean(err)
-    w = weights.astype(jnp.float32)[:, :, None, None]
-    return jnp.sum(err * w) / (jnp.sum(weights.astype(jnp.float32))
-                               * D + 1e-12)
-
-
-def masked_pixel_patches(
-    clip: Array,
-    mask_indices: Array,
-    *,
-    patch_size: int = 16,
-    tubelet_size: int = 2,
-) -> Array:
-    """Gather masked tokens' pixel rows straight from the (B, T, H, W, C)
-    clip — one gather instead of the full token-major transpose (which
-    XLA schedules as 4 full-size passes at the ViT-B geometry) followed
-    by a row gather. Returns (B, M, p0*p*p*C) rows in the same (p0, p1,
-    p2, c) order as patchify_flat."""
-    B, T, H, W, C = clip.shape
-    p0, p = tubelet_size, patch_size
-    t, h, w = T // p0, H // p, W // p
-    x8 = clip.reshape(B, t, p0, h, p, w, p, C)
-    t_idx = mask_indices // (h * w)
-    hw = mask_indices % (h * w)
-    h_idx = hw // w
-    w_idx = hw % w
-    b_idx = jnp.arange(B)[:, None]
-    g = x8[b_idx, t_idx, :, h_idx, :, w_idx]  # (B, M, p0, p1, p2, C)
-    return g.reshape(B, mask_indices.shape[1], p0 * p * p * C)
 
 
 def gather_masked_targets(

@@ -85,86 +85,34 @@ def _loss_for_batch(
     # ms/step in f32 at B=48, measured) and the embed matmul consumes
     # bf16 anyway; --dtype float32 keeps bit-exact f32 targets.
     bf16 = cfg.dtype == "bfloat16"
-    import os
-
-    if os.environ.get("MOFO_EMBED_CONV") in ("1", "dotg"):
-        # experiment: skip the token-major transpose entirely — the
-        # model embeds via lax.conv ("1") or a multi-contracting-dim
-        # dot_general ("dotg") on the raw clip and targets gather
-        # masked patch pixels straight from (B, T, H, W, C). MEASURED
-        # DEAD END on v5e (171.5 / 168.4 vs 129.6 ms full step; the
-        # (2,16,16,3)-slice gather itself is the dominant cost) — kept
-        # for future hardware A/Bs.
-        tokens_pix = clip.astype(jnp.bfloat16) if bf16 else clip
-        g_rows = patchify.masked_pixel_patches(
-            tokens_pix, masked_idx,
-            patch_size=cfg.patch_size, tubelet_size=cfg.tubelet_size,
-        )
-        targets = patchify.normalize_patch_rows(
-            g_rows,
-            normalize_target=cfg.normalize_target,
-            compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
-        )
-    else:
-        tokens_pix = patchify.patchify_flat(
-            clip.astype(jnp.bfloat16) if bf16 else clip,
-            patch_size=cfg.patch_size, tubelet_size=cfg.tubelet_size
-        )
-        # (an optimization_barrier here — to pin one canonical layout —
-        # measured no change: 129.7 ms either way)
-        # (measured TWICE: fusing the target normalization into the loss
-        # via masked_target_stats/masked_norm_mse_loss regressed 131.2
-        # -> 134.7 ms in round 2 and 124.0 -> 127.8 with the round-3
-        # kernels — materialized bf16 targets win; MOFO_TARGET_STATS=1
-        # keeps the A/B runnable)
-        import os as _os
-
-        if _os.environ.get("MOFO_TARGET_STATS") == "1":
-            # the fused-stats path always normalizes; refuse rather than
-            # silently changing loss semantics under normalize_target=False
-            assert cfg.normalize_target, (
-                "MOFO_TARGET_STATS=1 requires cfg.normalize_target=True"
-            )
-            g_st, mu_st, den_st = patchify.masked_target_stats(
-                tokens_pix, masked_idx
-            )
-            targets = None
-        else:
-            targets = patchify.masked_normalized_targets(
-                tokens_pix,
-                masked_idx,
-                normalize_target=cfg.normalize_target,
-                compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
-            )
+    tokens_pix = patchify.patchify_flat(
+        clip.astype(jnp.bfloat16) if bf16 else clip,
+        patch_size=cfg.patch_size, tubelet_size=cfg.tubelet_size
+    )
+    # (Measured alternatives, all losers on v5e — see docs/PERF.md for
+    # the full history: conv/dot_general embed 171.5/168.4 ms vs 122.7;
+    # fusing target normalization into the loss 134.7 / 127.8 ms twice;
+    # an optimization_barrier after patchify: no change.)
+    targets = patchify.masked_normalized_targets(
+        tokens_pix,
+        masked_idx,
+        normalize_target=cfg.normalize_target,
+        compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
+    )
 
     weights = None
     if cfg.motion_loss_weight and loss_weight is not None:
         # Per-masked-token weight: 1 + w for tokens inside the motion box.
-        if os.environ.get("MOFO_INBOX") == "gather":
-            # A/B alternative: rasterize the full (B, N) map and gather it
-            # at the masked indices — a 1-element-per-row gather that
-            # costs 0.69 ms/step of DMA overhead at the ViT-B geometry
-            from mofo_tpu.models.bb_focused import token_in_box_map
-
-            in_map = token_in_box_map(
-                batch["boxes"],
-                tubelet_size=cfg.tubelet_size,
-                patches_per_side=cfg.input_size // cfg.patch_size,
-                patch_size=cfg.patch_size,
-            )
-            in_masked = jnp.take_along_axis(
-                in_map.astype(jnp.float32), masked_idx, axis=1
-            )
-        else:
-            # evaluate the box test AT the masked indices (bit-identical
-            # to the gathered map; pure arithmetic, no gather)
-            in_masked = masking.tokens_in_box(
-                batch["boxes"],
-                masked_idx,
-                tubelet_size=cfg.tubelet_size,
-                patches_per_side=cfg.input_size // cfg.patch_size,
-                patch_size=cfg.patch_size,
-            ).astype(jnp.float32)
+        # The box test is evaluated AT the masked indices (bit-identical
+        # to rasterizing a full (B, N) map and gathering it, minus the
+        # gather's 0.69 ms/step of DMA overhead; pure arithmetic).
+        in_masked = masking.tokens_in_box(
+            batch["boxes"],
+            masked_idx,
+            tubelet_size=cfg.tubelet_size,
+            patches_per_side=cfg.input_size // cfg.patch_size,
+            patch_size=cfg.patch_size,
+        ).astype(jnp.float32)
         weights = 1.0 + loss_weight * in_masked
 
     pred = model.apply(
@@ -177,10 +125,6 @@ def _loss_for_batch(
         if train
         else {},
     )
-    if targets is None:  # MOFO_TARGET_STATS=1 A/B path
-        return patchify.masked_norm_mse_loss(
-            pred, g_st, mu_st, den_st, weights=weights
-        )
     return patchify.masked_mse_loss(pred, targets, weights=weights)
 
 

@@ -160,18 +160,6 @@ class TestMaskedNormalizedTargets:
         b = np.asarray(patchify.patchify(clip))
         np.testing.assert_array_equal(a, b.reshape(a.shape))
 
-    def test_patchify_flat_variants_identical(self, monkeypatch):
-        """All MOFO_PATCHIFY formulations are the same permutation."""
-        rng = np.random.RandomState(10)
-        clip = jnp.asarray(
-            rng.rand(2, 4, 32, 32, 3).astype(np.float32)
-        ).astype(jnp.bfloat16)
-        ref = np.asarray(patchify.patchify_flat(clip))
-        for variant in ("lr", "8d", "bt", "i32"):
-            monkeypatch.setenv("MOFO_PATCHIFY", variant)
-            got = np.asarray(patchify.patchify_flat(clip))
-            np.testing.assert_array_equal(got, ref, err_msg=variant)
-
     def test_bf16_targets_close_to_f32(self):
         """The bf16 fast path (bf16 patchify transpose + bf16 gather +
         f32-accumulated stats) must stay within bf16 noise of the exact
@@ -198,36 +186,3 @@ class TestMaskedNormalizedTargets:
         assert np.median(err) < 0.02, np.median(err)
         assert np.percentile(err, 99) < 0.2, np.percentile(err, 99)
 
-    def test_masked_pixel_patches_matches_flat_gather(self):
-        rng = np.random.RandomState(12)
-        clip = jnp.asarray(rng.rand(2, 4, 32, 32, 3).astype(np.float32))
-        idx = jnp.asarray([[0, 3, 5, 7], [1, 2, 6, 7]], jnp.int32)
-        a = np.asarray(jnp.take_along_axis(
-            patchify.patchify_flat(clip), idx[..., None], axis=1
-        ))
-        b = np.asarray(patchify.masked_pixel_patches(clip, idx))
-        np.testing.assert_array_equal(a, b)
-
-    def test_target_stats_loss_equals_materialized(self):
-        """masked_target_stats + masked_norm_mse_loss (the fused-loss
-        variant kept in the library) must equal materialized targets +
-        masked_mse_loss, weighted and unweighted."""
-        rng = np.random.RandomState(13)
-        clip = jnp.asarray(
-            rng.rand(2, 4, 64, 64, 3).astype(np.float32) * 2.0 - 0.5
-        )
-        idx = jnp.asarray([[0, 3, 7, 12], [1, 5, 9, 15]], jnp.int32)
-        pred = jnp.asarray(
-            rng.randn(2, 4, 1536).astype(np.float32) * 0.1
-        )
-        tokens = patchify.patchify_flat(clip)
-        targets = patchify.masked_normalized_targets(tokens, idx)
-        g, mu, denom = patchify.masked_target_stats(tokens, idx)
-        for w in (None, jnp.asarray(rng.rand(2, 4), jnp.float32)):
-            a = float(patchify.masked_mse_loss(pred, targets, weights=w))
-            b = float(
-                patchify.masked_norm_mse_loss(
-                    pred, g, mu, denom, weights=w
-                )
-            )
-            np.testing.assert_allclose(a, b, rtol=1e-5)

@@ -243,3 +243,31 @@ def test_convergence_ab_artifact():
     imp_prod = prod[0] - prod[-1]
     imp_ref = ref[0] - ref[-1]
     assert abs(imp_prod - imp_ref) / imp_ref < 5e-2, (imp_prod, imp_ref)
+
+
+def test_convergence_ab_finetune_artifact():
+    """Gated convergence A/B for the SECOND training surface: the
+    production finetune config (pallas+bf16, mixup + SoftTargetCE) and
+    the fp16 dynamic-loss-scale path must both track the reference
+    config (xla+f32) across a 50-step classifier run. Asserts the
+    recorded artifact (regenerate with tools/convergence_ab_finetune.py
+    --out tests/golden/convergence_ft_v5e.json)."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "golden", "convergence_ft_v5e.json"
+    )
+    assert os.path.exists(path), (
+        "run tools/convergence_ab_finetune.py --out " + path
+    )
+    art = json.load(open(path))
+    assert art["steps"] >= 50
+    prod, ref = art["prod_losses"], art["ref_losses"]
+    assert prod[-1] < prod[0] and ref[-1] < ref[0]
+    assert art["max_rel_diff"] < 2e-2, art["max_rel_diff"]
+    imp_prod = prod[0] - prod[-1]
+    imp_ref = ref[0] - ref[-1]
+    assert abs(imp_prod - imp_ref) / imp_ref < 5e-2, (imp_prod, imp_ref)
+    if art.get("fp16_max_rel_diff") is not None:
+        assert art["fp16_max_rel_diff"] < 2e-2, art["fp16_max_rel_diff"]

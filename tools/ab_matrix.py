@@ -1,10 +1,14 @@
-"""Full-step A/B matrix driver for the PERF.md experiment knobs.
+"""Full-step A/B matrix driver for bench.py configurations.
 
 Runs bench.py as a subprocess once per config (env overrides), parses
 the one-line JSON result, and appends every record to a JSONL log so a
 crashed sweep loses nothing. Only full-step deltas from bench.py are
 trustworthy through the relay (docs/PERF.md "Measurement methodology");
-this is the harness that decides which knobs become defaults.
+this harness decided the round-4 defaults (docs/ab_r4.jsonl): tanh GELU
+for bf16 steps became the default (-10.4 ms), the LN/layout/patchify/
+pos/clip experiments lost or tied and their code paths were DELETED —
+the env knobs those configs set no longer exist. What remains to sweep
+is the bench batch size.
 
 Usage:
     python tools/ab_matrix.py [--log docs/ab_r4.jsonl] [--configs NAME ...]
@@ -23,37 +27,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # name -> env overrides (on top of the current environment)
 CONFIGS = {
-    "head": {},
-    "patchify_lr": {"MOFO_PATCHIFY": "lr"},
-    "ln_mm": {"MOFO_LN": "mm"},
-    "ln_mmvjp": {"MOFO_LN": "mmvjp"},
-    "pos_arith": {"MOFO_POS": "arith"},
-    "layout_auto": {"MOFO_BENCH_LAYOUT": "auto"},
-    "clip_bf16": {"MOFO_BENCH_CLIP": "bf16"},
-    "gelu_tanh": {"MOFO_GELU": "tanh"},
-    # knob-combo regression config (tests/test_knob_combo.py guards it)
-    "combo_all": {
-        "MOFO_PATCHIFY": "lr",
-        "MOFO_LN": "mmvjp",
-        "MOFO_POS": "arith",
-        "MOFO_BENCH_LAYOUT": "auto",
-        "MOFO_BENCH_CLIP": "bf16",
-        "MOFO_GELU": "tanh",
-    },
-    # batch sweep at whatever default config is current
-    "b40": {"MOFO_BENCH_BATCH": "40"},
-    "b56": {"MOFO_BENCH_BATCH": "56"},
-    "b64": {"MOFO_BENCH_BATCH": "64"},
-    # round-4 follow-ups: gelu_tanh was the big winner (−10.4 ms);
-    # re-sweep batch with it on, and try it with the two tiny wins
-    # (pos_arith, clip_bf16) without the measured losers (ln, layout)
-    "gelu_b40": {"MOFO_GELU": "tanh", "MOFO_BENCH_BATCH": "40"},
-    "gelu_b56": {"MOFO_GELU": "tanh", "MOFO_BENCH_BATCH": "56"},
-    "gelu_b64": {"MOFO_GELU": "tanh", "MOFO_BENCH_BATCH": "64"},
-    "combo_fast": {
-        "MOFO_GELU": "tanh",
-        "MOFO_POS": "arith",
-        "MOFO_BENCH_CLIP": "bf16",
+    "head": {},  # current defaults (B=80, tanh GELU in bf16)
+    **{
+        f"b{b}": {"MOFO_BENCH_BATCH": str(b)}
+        for b in (40, 48, 56, 64, 72, 80, 88, 96, 112, 128)
     },
 }
 
