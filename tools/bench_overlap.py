@@ -99,7 +99,7 @@ def main():
     enable_compilation_cache()
 
     # --- the bench-config device step (identical to bench.py) ---
-    B = 48
+    B = 80
     cfg = PretrainConfig(
         batch_size=B,
         masking=MaskingConfig(mask_type="tube_bb"),
