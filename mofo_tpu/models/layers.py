@@ -195,7 +195,11 @@ class Attention(nn.Module):
         # tensor need A to be a lane-tile (128) multiple for legal Mosaic
         # minor-dim tiling; misaligned geometries (attn_head_dim overrides,
         # odd head counts like 3x64) take the head-major kernel instead.
-        flat_aligned = all_head_dim % 128 == 0
+        # Mosaic also has no f16 type: the fp16 loss-scale path must not
+        # reach any Pallas kernel (it falls through to XLA attention).
+        flat_aligned = (
+            all_head_dim % 128 == 0 and self.dtype != jnp.float16
+        )
         if self.attn_impl == "pallas":
             # dispatcher raises on bias/dropout for explicit pallas;
             # keep that behavior for the flat path too

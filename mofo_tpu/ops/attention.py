@@ -94,6 +94,9 @@ def dot_product_attention(
             and q.shape[2] == k.shape[2]
             and bias is None
             and (deterministic or dropout_rate == 0.0)
+            # Mosaic has no f16 type: the fp16 loss-scale path (--dtype
+            # float16, DeepSpeed-parity) must take XLA attention
+            and q.dtype != jnp.float16
         )
         impl = "pallas" if use_pallas else "xla"
     if impl == "pallas":

@@ -225,3 +225,28 @@ class TestBenchBackendRetry:
         assert rec["error"] == "backend_unavailable"
         assert rec["vs_baseline"] == 0.0
         assert "UNAVAILABLE" in rec["extra"]["last_error"]
+
+
+class TestFp16AvoidsPallas:
+    """Mosaic has no f16 type: the fp16 loss-scale path (--dtype float16,
+    the DeepSpeed-parity config) must never reach a Pallas kernel. With
+    _on_tpu monkeypatched True, an f16 forward through Attention must
+    still dispatch to XLA attention — on this CPU backend a pallas_call
+    would fail to lower, so plain success proves the routing."""
+
+    def test_f16_attention_routes_to_xla(self, monkeypatch):
+        from mofo_tpu.models import layers as L
+        from mofo_tpu.ops import attention as A
+
+        monkeypatch.setattr(A, "_on_tpu", lambda: True)
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(2, 256, 128), jnp.float16
+        )
+        attn = L.Attention(
+            dim=128, num_heads=2, qkv_bias=True, dtype=jnp.float16,
+            attn_impl="auto",
+        )
+        p = attn.init(jax.random.PRNGKey(0), x)
+        out = attn.apply(p, x)
+        assert out.dtype == jnp.float16
+        assert np.isfinite(np.asarray(out, np.float32)).all()
