@@ -15,6 +15,15 @@ Reference semantics being reproduced:
 The optax chain is: [clip] -> scale_by_adam -> +wd(t)*p (masked) ->
 *lr_scale (per leaf) -> *lr(t) -> negate. All schedule lookups happen
 inside the jitted step via the optax count.
+
+Zoo coverage vs the reference create_optimizer (optim_factory.py:91-175):
+everything the recipes can name is implemented (incl. adamp/sgdp and the
+'lookahead_' prefix). The ONE intentional omission is 'adahessian'
+(optim_factory.py:166-167): it needs Hutchinson-probe Hessian diagonals
+via a second backward pass, is imported from timm in the reference but
+used by no recipe, config, or script there, and would force a different
+step-function signature (grad_fn instead of grads) on every engine for a
+dead path.
 """
 
 from __future__ import annotations

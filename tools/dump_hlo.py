@@ -22,7 +22,8 @@ def main():
     from mofo_tpu.train.train_state import TrainState
 
     enable_compilation_cache()
-    B = 48
+    import os
+    B = int(os.environ.get("MOFO_BENCH_BATCH", "80"))
     cfg = PretrainConfig(
         batch_size=B,
         masking=MaskingConfig(mask_type="tube_bb"),
