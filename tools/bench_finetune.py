@@ -5,10 +5,12 @@ Same chained-dispatch methodology as bench.py. Prints one JSON line;
 not part of the driver's BENCH artifact (that's the pretrain step) —
 this tracks the other hot path end to end.
 
-Usage: PYTHONPATH=/root/repo python tools/bench_finetune.py [--bb]
+Usage: PYTHONPATH=/root/repo python tools/bench_finetune.py [--bb] [--eval]
 --bb benches the BB-focused MCA-fusing step (per-frame motion boxes
 threaded into the model; MCA cross-attention fusing head) instead of the
-plain classifier.
+plain classifier. --eval benches the forward-only eval/inference step
+(make_eval_step: logits + CE + acc1/acc5 — the serving path) instead of
+the training step; composes with --bb.
 """
 
 import sys
@@ -42,7 +44,8 @@ def main():
 
     enable_compilation_cache()
     bb = "--bb" in sys.argv
-    B = int(os.environ.get("MOFO_BENCH_BATCH", "24"))
+    ev = "--eval" in sys.argv
+    B = int(os.environ.get("MOFO_BENCH_BATCH", "48" if ev else "24"))
     n_classes = 174
     cfg = FinetuneConfig(batch_size=B, nb_classes=n_classes)
     clip = jax.random.normal(
@@ -73,32 +76,47 @@ def main():
         layer_decay=0.75,
     )
     state = TrainState.create(params, tx)
-    step = jax.jit(make_finetune_step(model, tx, cfg, bb_focused=bb),
-                   donate_argnums=(0,))
     batch = {"clip": clip, "label": labels}
     if bb:
         batch["boxes"] = boxes
     rng = jax.random.PRNGKey(3)
 
-    state, metrics = step(state, batch, rng)
-    float(metrics["loss"])
-    n_iters = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
+    if ev:
+        from mofo_tpu.train.finetune_step import make_eval_step
+
+        eval_fn = jax.jit(make_eval_step(model, cfg, bb_focused=bb))
+        metrics = eval_fn(state.params, batch)
+        float(metrics["loss"])
+        n_iters = 20
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            metrics = eval_fn(state.params, batch)
+        final_loss = float(metrics["loss"])
+        dt = (time.perf_counter() - t0) / n_iters
+        flops = vit_b_cls_fwd_flops(B, n_classes)  # forward only
+    else:
+        step = jax.jit(make_finetune_step(model, tx, cfg, bb_focused=bb),
+                       donate_argnums=(0,))
         state, metrics = step(state, batch, rng)
-    final_loss = float(metrics["loss"])
-    dt = (time.perf_counter() - t0) / n_iters
-    flops = 3 * vit_b_cls_fwd_flops(B, n_classes)
+        float(metrics["loss"])
+        n_iters = 20
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            state, metrics = step(state, batch, rng)
+        final_loss = float(metrics["loss"])
+        dt = (time.perf_counter() - t0) / n_iters
+        flops = 3 * vit_b_cls_fwd_flops(B, n_classes)
     if bb:
         # MCA fusing block (queries+kv over all 1568 tokens, 3 heads x
         # 64): q/kv/proj projections + mlp + two 192-dim attn matmuls
         n, d, ahd = 1568, 768, 192
         mca = 2 * n * d * (d + 2 * ahd + ahd + 2 * 4 * d) \
             + 4 * n * n * ahd
-        flops += 3 * B * mca
+        flops += (1 if ev else 3) * B * mca
     peak = 197e12
     print(json.dumps({
-        "metric": "clips/sec/chip ViT-B " + ("BB-MCA " if bb else "") + "finetune",
+        "metric": "clips/sec/chip ViT-B " + ("BB-MCA " if bb else "")
+        + ("eval" if ev else "finetune"),
         "value": round(B / dt, 2),
         "unit": "clips/s",
         "extra": {
