@@ -113,6 +113,12 @@ def dot_product_attention(
                 f"(attn_drop_rate={dropout_rate}); use impl='xla' (or "
                 "'auto', which falls back when dropout is active)."
             )
+        if q.dtype == jnp.float16:
+            raise ValueError(
+                "impl='pallas' does not support float16 (Mosaic has no "
+                "f16 type); use impl='xla' or 'auto' — the fp16 "
+                "loss-scale path auto-routes to XLA attention."
+            )
         from mofo_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)

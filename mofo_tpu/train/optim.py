@@ -499,8 +499,14 @@ def create_optimizer(
                 "allowlist matched nothing (renamed module?)"
             )
         # keep optimizer state (Adam moments etc.) ONLY for trainable
-        # leaves; frozen leaves pass through here and are zeroed below
-        moments = [optax.masked(optax.chain(*moments), train_mask)]
+        # leaves; frozen leaves pass through here and are zeroed below.
+        # adamp/sgdp are excluded: their update_fns map over the FULL
+        # params/decay-mask trees, which optax.masked prunes to
+        # MaskedNode leaves (structure mismatch -> crash); they keep
+        # full moments and rely on the exact-zero freeze scaling below,
+        # which produces identical parameter trajectories.
+        if opt not in ("adamp", "sgdp"):
+            moments = [optax.masked(optax.chain(*moments), train_mask)]
     chain.extend(moments)
 
     # Decoupled weight decay (AdamW-style) for everything except plain adam

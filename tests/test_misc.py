@@ -250,3 +250,10 @@ class TestFp16AvoidsPallas:
         out = attn.apply(p, x)
         assert out.dtype == jnp.float16
         assert np.isfinite(np.asarray(out, np.float32)).all()
+
+    def test_explicit_pallas_f16_raises(self):
+        from mofo_tpu.ops.attention import dot_product_attention
+
+        q = jnp.zeros((1, 2, 256, 64), jnp.float16)
+        with pytest.raises(ValueError, match="float16"):
+            dot_product_attention(q, q, q, scale=0.125, impl="pallas")

@@ -420,3 +420,32 @@ class TestLookahead:
         np.testing.assert_allclose(
             np.asarray(params["w"]), fast, rtol=1e-6, atol=1e-7
         )
+
+
+class TestAdamPFreeze:
+    def test_adamp_sgdp_with_trainable_mask(self):
+        """adamp/sgdp must compose with the freeze mask (optax.masked
+        prunes trees to MaskedNode leaves, which their full-tree
+        update_fns cannot map over — they use exact-zero freeze scaling
+        instead). Frozen leaves must not move; trainable ones must."""
+        import optax
+
+        params = {"head": {"w": jnp.ones((4, 4))},
+                  "body": {"w": jnp.ones((4, 4))}}
+        g = jax.tree.map(lambda p: jnp.full_like(p, 0.5), params)
+        for opt in ("adamp", "sgdp"):
+            tx = optim.create_optimizer(
+                params, lr_schedule=np.array([0.1] * 4), opt=opt,
+                weight_decay=0.01,
+                trainable=lambda path, leaf: "head" in str(path),
+            )
+            st = tx.init(params)
+            upd, st = tx.update(g, st, params)
+            new = optax.apply_updates(params, upd)
+            np.testing.assert_array_equal(
+                np.asarray(new["body"]["w"]), np.asarray(params["body"]["w"]),
+                err_msg=opt,
+            )
+            assert not np.allclose(
+                np.asarray(new["head"]["w"]), np.asarray(params["head"]["w"])
+            ), opt

@@ -41,22 +41,32 @@ def run_one(name: str, env_over: dict, reps: int, log_path: str):
     recs = []
     for rep in range(reps):
         t0 = time.time()
-        p = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            capture_output=True, text=True, env=env, cwd=REPO,
-            timeout=3600,
-        )
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                capture_output=True, text=True, env=env, cwd=REPO,
+                timeout=3600,
+            )
+        except subprocess.TimeoutExpired:
+            # record the timeout and keep sweeping — "a crashed sweep
+            # loses nothing" includes hung relays (BENCH_r03 scenario)
+            p = None
         wall = time.time() - t0
         line = ""
-        for ln in reversed(p.stdout.strip().splitlines() or [""]):
-            if ln.startswith("{"):
-                line = ln
-                break
+        if p is not None:
+            for ln in reversed(p.stdout.strip().splitlines() or [""]):
+                if ln.startswith("{"):
+                    line = ln
+                    break
         try:
             rec = json.loads(line)
         except (json.JSONDecodeError, ValueError):
-            rec = {"error": "no_json", "rc": p.returncode,
-                   "stderr_tail": p.stderr[-400:]}
+            rec = (
+                {"error": "timeout", "timeout_s": 3600}
+                if p is None
+                else {"error": "no_json", "rc": p.returncode,
+                      "stderr_tail": p.stderr[-400:]}
+            )
         rec["config"] = name
         rec["env"] = env_over
         rec["rep"] = rep

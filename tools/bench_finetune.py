@@ -85,27 +85,45 @@ def main():
         from mofo_tpu.train.finetune_step import make_eval_step
 
         eval_fn = jax.jit(make_eval_step(model, cfg, bb_focused=bb))
-        metrics = eval_fn(state.params, batch)
-        float(metrics["loss"])
-        n_iters = 20
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            metrics = eval_fn(state.params, batch)
-        final_loss = float(metrics["loss"])
-        dt = (time.perf_counter() - t0) / n_iters
+
+        # the relay memoizes identical (program, inputs) executions
+        # (CLAUDE.md measurement rules); eval has no evolving donated
+        # state, so thread the previous loss back into the clip as a
+        # perturbation (1e-5 * loss: big enough to flip f32 mantissa
+        # bits on O(1) pixels, far below augmentation noise) — every
+        # dispatch gets distinct inputs AND a data dependence chains
+        # the executions
+        def run_once(carry):
+            _, prev = carry
+            b2 = dict(batch)
+            b2["clip"] = batch["clip"] + prev * jnp.float32(1e-5)
+            m = eval_fn(state.params, b2)
+            return (None, m["loss"]), m
+
+        carry0 = (None, jnp.float32(0.0))
         flops = vit_b_cls_fwd_flops(B, n_classes)  # forward only
     else:
         step = jax.jit(make_finetune_step(model, tx, cfg, bb_focused=bb),
                        donate_argnums=(0,))
-        state, metrics = step(state, batch, rng)
-        float(metrics["loss"])
-        n_iters = 20
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            state, metrics = step(state, batch, rng)
-        final_loss = float(metrics["loss"])
-        dt = (time.perf_counter() - t0) / n_iters
+
+        def run_once(carry):
+            st, _ = carry
+            st, m = step(st, batch, rng)
+            return (st, m["loss"]), m
+
+        carry0 = (state, jnp.float32(0.0))
         flops = 3 * vit_b_cls_fwd_flops(B, n_classes)
+
+    # shared harness: warmup + scalar fetch (block through the relay),
+    # then a chained run with ONE scalar fetch at the end
+    carry, metrics = run_once(carry0)
+    float(metrics["loss"])
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        carry, metrics = run_once(carry)
+    final_loss = float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / n_iters
     if bb:
         # MCA fusing block (queries+kv over all 1568 tokens, 3 heads x
         # 64): q/kv/proj projections + mlp + two 192-dim attn matmuls
