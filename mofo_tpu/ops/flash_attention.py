@@ -50,7 +50,7 @@ def _on_tpu() -> bool:
         return False
 
 
-def _block_for(n: int) -> int:
+def _block_for(n: int, heads: int = 1) -> int:
     """Pick a q/kv block size that divides n exactly when possible.
 
     A divisor block means n_pad == n: no padded kv columns burning MXU
@@ -58,13 +58,23 @@ def _block_for(n: int) -> int:
     decoder to 1792 — 14% wasted flops — and the 160-token encoder to
     256), and the in-kernel column masks become no-ops.
 
+    heads is the per-program head count of the CALLING kernel (the
+    multihead kernels loop heads in one program; fwd and bwd must agree
+    because the saved lse layout carries bq). Measured on the 1568-token
+    geometries (full-step A/B):
+      6 heads (pretrain decoder):    784 > 392 ≈ 256-padded   -> fat
+      12 heads (classifier blocks):  224 (233.4 ms) > 784/392/112
+        (238.4/238.6/238.7 ms) — twelve heads' live score tiles want
+        small blocks; the h-outer backward keeps one head's set live
+        either way.
+
     MOFO_FLASH_BLOCK overrides the choice (perf experiments) when it
-    divides n.
+    divides n and is 8-row aligned.
     """
     import os
 
     env = os.environ.get("MOFO_FLASH_BLOCK")
-    if env and n > 512 and n % int(env) == 0:
+    if env and n > 512 and n % int(env) == 0 and int(env) % 8 == 0:
         return int(env)
     if n % 8 == 0:
         lane_pad = -(-n // 128) * 128  # physical kv width after Mosaic
@@ -76,14 +86,29 @@ def _block_for(n: int) -> int:
             return _BLOCK_Q
         if n <= 512:
             return n  # single q block
-        # Largest divisor block whose f32 score transient (bq x n) stays
-        # within ~6M of VMEM: fewer, fatter programs amortize the
-        # prologue/epilogue DMA. 784 at the 1568-token decoder measured
-        # 151.9 -> 147.5 ms on the full ViT-B MOFO step (vs 392).
-        for blk in range(1024, 63, -8):  # e.g. 1568 -> 784
+        # Divisor-block search. Fat blocks (fewer programs, amortized
+        # prologue/epilogue DMA) win at <=8 heads; >8 heads prefer
+        # <=256-row blocks (see docstring A/B).
+        top = 256 if heads > 8 else 1024
+        for blk in range(top, 63, -8):  # e.g. 1568 -> 784 / 224
             if n % blk == 0 and blk * lane_pad * 4 <= 6 * 1024 * 1024:
                 return blk
     return _BLOCK_Q  # fallback: pad to 256 blocks and mask
+
+
+
+def _vmem_mb(default_mb: int) -> int:
+    """Scoped-VMEM budget in MB. The tier constants are sized for the
+    DEFAULT block choices (_block_for); an explicit MOFO_FLASH_BLOCK
+    override changes per-program working sets in ways the tiers don't
+    model (e.g. 392-row blocks at 12 heads measured 34M against the
+    24M small-block tier), so expert-mode overrides get the full
+    budget instead of a crash. Production compiles are unaffected."""
+    import os
+
+    if os.environ.get("MOFO_FLASH_BLOCK"):
+        return max(default_mb, 110)
+    return default_mb
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, n_valid):
@@ -548,7 +573,7 @@ def _mh_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, ld_ref,
 def _mh_fwd_impl(q, k, v, scale, heads, interpret):
     """q, k, v: (B, N, H*D). Returns (out, lse (B, nq, H, 8, BQ))."""
     B, N, A = q.shape
-    bq = _block_for(N)
+    bq = _block_for(N, heads)
     n_pad = -(-N // bq) * bq
     n_valid = N if n_pad != N else None
     qp = _pad_to(q, n_pad, 1)
@@ -592,7 +617,7 @@ def _mh_fwd_impl(q, k, v, scale, heads, interpret):
             # f32 (bq, Nk) tiles: the 12-head finetune geometry needs
             # 58.4M (measured OOM at the old 48M limit)
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=(80 if bq > 512 else 24) * 1024 * 1024,
+                vmem_limit_bytes=_vmem_mb(80 if bq > 512 else 24) * 1024 * 1024,
                 # every (batch, q-block) program is independent — let
                 # Mosaic pipeline DMA across both grid dims
                 dimension_semantics=("parallel", "parallel"),
@@ -608,7 +633,7 @@ def _mh_fwd_impl(q, k, v, scale, heads, interpret):
 def _mh_bwd_impl(q, k, v, out, lse, do, scale, heads, interpret):
     B, N, A = q.shape
     hd = A // heads
-    bq = _block_for(N)
+    bq = _block_for(N, heads)
     n_pad = -(-N // bq) * bq
     n_valid = N if n_pad != N else None
     nq = n_pad // bq
@@ -681,7 +706,7 @@ def _mh_bwd_impl(q, k, v, out, lse, do, scale, heads, interpret):
             # fully reuse buffers across the unrolled head loop) —
             # budget by head count.
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=(
+                vmem_limit_bytes=_vmem_mb(
                     (100 if heads > 8 else 64) if bq > 512 else 32
                 ) * 1024 * 1024,
                 # batch programs are independent; the kv-block dim is
@@ -949,7 +974,7 @@ def _qkv_fwd_impl(qkv, scale, heads, interpret):
     """qkv: (B, N, 3A). Returns (out, lse (B, nq, H, 8, bq))."""
     B, N, A3 = qkv.shape
     A = A3 // 3
-    bq = _block_for(N)
+    bq = _block_for(N, heads)
     n_pad = -(-N // bq) * bq
     n_valid = N if n_pad != N else None
     qkvp = _pad_to(qkv, n_pad, 1)
@@ -986,7 +1011,7 @@ def _qkv_fwd_impl(qkv, scale, heads, interpret):
                 jax.ShapeDtypeStruct((b, nq, heads, 8, bq), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=(80 if bq > 512 else 24) * 1024 * 1024,
+                vmem_limit_bytes=_vmem_mb(80 if bq > 512 else 24) * 1024 * 1024,
                 dimension_semantics=("parallel", "parallel"),
             ),
             interpret=interpret,
@@ -1000,7 +1025,7 @@ def _qkv_fwd_impl(qkv, scale, heads, interpret):
 def _qkv_bwd_impl(qkv, out, lse, do, scale, heads, interpret):
     B, N, A3 = qkv.shape
     A = A3 // 3
-    bq = _block_for(N)
+    bq = _block_for(N, heads)
     n_pad = -(-N // bq) * bq
     if (
         n_pad > 2048
@@ -1067,7 +1092,7 @@ def _qkv_bwd_impl(qkv, out, lse, do, scale, heads, interpret):
                 # measured Mosaic stack: h-inner 88.1M at the 6-head
                 # 1568-token decoder; h-outer stays far smaller (one
                 # head's working set)
-                vmem_limit_bytes=(100 if bq > 512 else 40) * 1024 * 1024,
+                vmem_limit_bytes=_vmem_mb(100 if bq > 512 else 40) * 1024 * 1024,
                 dimension_semantics=("parallel",),
             ),
             interpret=interpret,
