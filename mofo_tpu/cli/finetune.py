@@ -341,6 +341,11 @@ def main(args=None):
     )
     if bb_focused:
         model_kwargs["fusing_method"] = cfg.fusing_mode
+    if optim.is_second_order(args.opt):
+        # the Hutchinson probe differentiates the backward pass; the
+        # Pallas flash bwd kernels define only a first-order VJP
+        model_kwargs["attn_impl"] = "xla"
+        log("second-order optimizer: attention routed through XLA")
     model = create_model(cfg.model, **model_kwargs)
 
     rng = jax.random.PRNGKey(cfg.seed)
@@ -465,7 +470,8 @@ def main(args=None):
     step_fn = jax.jit(
         make_finetune_step(model, tx, cfg, lr_sched,
                            bb_focused=bb_focused,
-                           augment_fn=train_augment),
+                           augment_fn=train_augment,
+                           second_order=optim.is_second_order(args.opt)),
         donate_argnums=(0,),
     )
     eval_fn = jax.jit(make_eval_step(model, cfg, bb_focused=bb_focused))

@@ -205,8 +205,7 @@ def main(args=None):
 
     # ----- model & optimizer -----
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-    model = create_model(
-        cfg.model,
+    model_kwargs = dict(
         decoder_depth=cfg.decoder_depth,
         drop_path_rate=cfg.drop_path,
         num_frames=cfg.num_frames,
@@ -214,6 +213,12 @@ def main(args=None):
         img_size=cfg.input_size,
         dtype=dtype,
     )
+    if optim.is_second_order(args.opt):
+        # the Hutchinson probe differentiates the backward pass; the
+        # Pallas flash bwd kernels define only a first-order VJP
+        model_kwargs["attn_impl"] = "xla"
+        log("second-order optimizer: attention routed through XLA")
+    model = create_model(cfg.model, **model_kwargs)
     lr = schedules.scaled_lr(cfg.optimizer.lr, global_batch)
     log(f"base lr: {cfg.optimizer.lr:.2e}  scaled lr: {lr:.2e}")
     lr_sched = schedules.cosine_schedule(
@@ -279,7 +284,8 @@ def main(args=None):
 
     step_fn = jax.jit(
         make_pretrain_step(model, tx, cfg, lr_sched,
-                           augment_fn=augment_batch),
+                           augment_fn=augment_batch,
+                           second_order=optim.is_second_order(args.opt)),
         donate_argnums=(0,),
     )
 

@@ -19,7 +19,7 @@ import optax
 from mofo_tpu.core.config import FinetuneConfig
 from mofo_tpu.ops.mixup import Mixup
 from mofo_tpu.train import losses
-from mofo_tpu.train.optim import global_norm
+from mofo_tpu.train.optim import global_norm, hutchinson_diag
 from mofo_tpu.train.train_state import TrainState, ema_update
 
 Array = jax.Array
@@ -44,12 +44,17 @@ def make_finetune_step(
     lr_schedule: Optional[np.ndarray] = None,
     bb_focused: bool = False,
     augment_fn: Optional[Callable[[Array, Batch], Batch]] = None,
+    second_order: bool = False,
 ) -> Callable[[TrainState, Batch, Array], Tuple[TrainState, Dict]]:
     """step_fn(state, batch, rng) -> (state, metrics).
 
     batch: {'clip': (B,T,H,W,C), 'label': (B,) int} (+ 'boxes': (B,T,4)
     when bb_focused). With augment_fn given, batch carries raw decoded
     uint8 frames and augmentation runs inside the step.
+    second_order (adahessian): also compute the Hutchinson
+    Hessian-diagonal probe (reference engine_for_finetuning.py:91) and
+    pass it to the optimizer as the hessian_diag extra arg; under fp16
+    it is unscaled alongside the gradients (H of scale·L = scale·H).
     """
     mixup_active = (
         cfg.mixup > 0
@@ -109,6 +114,16 @@ def make_finetune_step(
         def scaled_loss(params, mbatch, mrng):
             return micro_loss(params, mbatch, mrng) * scale
 
+        def probe(mbatch, mrng):
+            # Hessian probe of the SAME stochastic (scaled) loss; the
+            # scale divides out with the gradients below.
+            return hutchinson_diag(
+                lambda p: jax.grad(scaled_loss)(p, mbatch, mrng),
+                state.params,
+                jax.random.fold_in(mrng, 0x5EED),
+            )
+
+        hd = None
         if cfg.update_freq > 1:
             k = cfg.update_freq
             micro = jax.tree.map(
@@ -118,34 +133,43 @@ def make_finetune_step(
             rngs = jax.random.split(rng, k)
 
             def scan_body(carry, xs):
-                loss_sum, grad_sum = carry
                 mbatch, mrng = xs
                 loss, grads = jax.value_and_grad(scaled_loss)(
                     state.params, mbatch, mrng
                 )
-                return (
-                    loss_sum + loss,
-                    jax.tree.map(jnp.add, grad_sum, grads),
-                ), None
+                acc = (loss, grads) + (
+                    (probe(mbatch, mrng),) if second_order else ()
+                )
+                return jax.tree.map(jnp.add, carry, acc), None
 
-            zero = jax.tree.map(
+            zeros = lambda: jax.tree.map(
                 lambda p: jnp.zeros(p.shape, jnp.float32), state.params
             )
-            (loss_sum, grad_sum), _ = jax.lax.scan(
-                scan_body, (jnp.zeros([], jnp.float32), zero), (micro, rngs)
+            init = (jnp.zeros([], jnp.float32), zeros()) + (
+                (zeros(),) if second_order else ()
             )
-            loss = loss_sum / (k * scale)
-            grads = jax.tree.map(lambda g: g / (k * scale), grad_sum)
+            acc, _ = jax.lax.scan(scan_body, init, (micro, rngs))
+            loss = acc[0] / (k * scale)
+            grads = jax.tree.map(lambda g: g / (k * scale), acc[1])
+            if second_order:
+                hd = jax.tree.map(lambda h: h / (k * scale), acc[2])
         else:
             loss, grads = jax.value_and_grad(scaled_loss)(
                 state.params, batch, rng
             )
             loss = loss / scale
+            if second_order:
+                hd = probe(batch, rng)
             if use_ls:
                 grads = jax.tree.map(lambda g: g / scale, grads)
+                if second_order:
+                    hd = jax.tree.map(lambda h: h / scale, hd)
 
         grad_norm = global_norm(grads)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        extra = {"hessian_diag": hd} if second_order else {}
+        updates, opt_state = tx.update(
+            grads, state.opt_state, state.params, **extra
+        )
         params = optax.apply_updates(state.params, updates)
 
         new_ls = state.loss_scale

@@ -17,13 +17,13 @@ The optax chain is: [clip] -> scale_by_adam -> +wd(t)*p (masked) ->
 inside the jitted step via the optax count.
 
 Zoo coverage vs the reference create_optimizer (optim_factory.py:91-175):
-everything the recipes can name is implemented (incl. adamp/sgdp and the
-'lookahead_' prefix). The ONE intentional omission is 'adahessian'
-(optim_factory.py:166-167): it needs Hutchinson-probe Hessian diagonals
-via a second backward pass, is imported from timm in the reference but
-used by no recipe, config, or script there, and would force a different
-step-function signature (grad_fn instead of grads) on every engine for a
-dead path.
+everything the recipes can name is implemented, incl. adamp/sgdp, the
+'lookahead_' prefix, and 'adahessian' (optim_factory.py:142-143 via
+timm). AdaHessian's second backward pass is torch's sore spot
+(create_graph=True through the whole graph); under JAX it is one
+`jax.jvp` through `jax.grad` — forward-over-reverse, no graph retention.
+The engines compute the Hutchinson probe (hutchinson_diag) only when
+is_second_order(opt) and feed it to the chain as an optax extra arg.
 """
 
 from __future__ import annotations
@@ -367,6 +367,114 @@ def scale_by_sgdp(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class AdaHessianState(NamedTuple):
+    count: jnp.ndarray
+    mu: Params
+    nu: Params  # EMA of squared Hessian-diagonal estimates
+
+
+def scale_by_adahessian(
+    *,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    hessian_power: float = 1.0,
+) -> optax.GradientTransformationExtraArgs:
+    """AdaHessian moments (Yao et al. 2021; timm adahessian.py, the
+    reference's 'adahessian' zoo entry, /root/reference/optim_factory.py:
+    142-143): Adam first moment on the gradient, second moment on the
+    Hutchinson Hessian-diagonal estimate, denom = nu_hat^(k/2) + eps.
+
+    Consumes the per-step estimate via the optax extra arg
+    `hessian_diag` (the engines compute it with hutchinson_diag when
+    is_second_order(opt)). Weight decay stays in the shared decoupled
+    tail of the chain — timm's `p *= 1 - lr*wd` is the same decoupled
+    update our AdamW tail applies. timm's update_each / n_samples /
+    avg_conv_kernel knobs keep their defaults (1 / 1 / off).
+    """
+
+    def init_fn(params):
+        z = lambda: jax.tree.map(jnp.zeros_like, params)
+        return AdaHessianState(
+            count=jnp.zeros([], jnp.int32), mu=z(), nu=z()
+        )
+
+    def update_fn(updates, state, params=None, *, hessian_diag=None,
+                  **extra):
+        del params, extra
+        if hessian_diag is None:
+            raise ValueError(
+                "adahessian needs the hessian_diag extra arg — build the "
+                "step with second_order=True (see hutchinson_diag)"
+            )
+        count = state.count + 1
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        mu = jax.tree.map(
+            lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates
+        )
+        nu = jax.tree.map(
+            lambda v, h: b2 * v + (1 - b2) * h * h, state.nu, hessian_diag
+        )
+        updates = jax.tree.map(
+            lambda m, v: (m / bc1)
+            / (jnp.power(v / bc2, hessian_power / 2.0) + eps),
+            mu,
+            nu,
+        )
+        return updates, AdaHessianState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformationExtraArgs(init_fn, update_fn)
+
+
+def is_second_order(opt: str) -> bool:
+    """Does this zoo entry need the Hutchinson Hessian-diagonal probe
+    (reference: timm adds the optimizer.is_second_order attribute the
+    engines check, engine_for_pretraining.py:173)?"""
+    opt = opt.lower()
+    if opt.startswith("lookahead_"):
+        opt = opt[len("lookahead_"):]
+    return opt == "adahessian"
+
+
+def hutchinson_diag(
+    grad_fn: Callable[[Params], Params], params: Params, rng: jax.Array
+) -> Params:
+    """One-probe Hutchinson estimate of diag(H): z ⊙ (H z) with z
+    Rademacher. Exact on quadratics for ANY probe since then
+    (Hz)_i = H_ii * z_i and z_i^2 = 1.
+
+    H z is computed reverse-over-reverse, grad(⟨grad_fn(·), z⟩) — the
+    same double backward torch's create_graph=True runs. NOT
+    forward-over-reverse: jvp cannot enter custom_vjp functions, and the
+    loss paths use them (ops/masking.py gather_tokens, the flash
+    kernels). Double reverse only needs the custom bwd fns themselves to
+    be reverse-differentiable — true for gather_tokens' one-hot matmul;
+    the Pallas flash bwd kernels are first-order-only, so second-order
+    runs must route attention through XLA (the CLIs pass
+    attn_impl='xla' when is_second_order(opt)).
+    """
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(rng, len(leaves))
+    z = jax.tree.unflatten(
+        treedef,
+        [
+            jax.random.rademacher(k, l.shape, jnp.float32).astype(l.dtype)
+            for k, l in zip(keys, leaves)
+        ],
+    )
+
+    def gz(p):
+        g = grad_fn(p)
+        return sum(
+            jnp.sum(gi.astype(jnp.float32) * zi.astype(jnp.float32))
+            for gi, zi in zip(jax.tree.leaves(g), jax.tree.leaves(z))
+        )
+
+    hz = jax.grad(gz)(params)
+    return jax.tree.map(lambda zi, hzi: zi * hzi, z, hz)
+
+
 # ---------------------------------------------------------------------------
 # Factory
 # ---------------------------------------------------------------------------
@@ -485,6 +593,10 @@ def create_optimizer(
         moments = [
             scale_by_sgdp(wd_fn, mask, momentum=momentum, nesterov=True)
         ]
+    elif opt == "adahessian":
+        moments = [
+            scale_by_adahessian(b1=betas[0], b2=betas[1], eps=eps)
+        ]
     else:
         raise ValueError(f"Unknown optimizer: {opt}")
 
@@ -504,8 +616,9 @@ def create_optimizer(
         # params/decay-mask trees, which optax.masked prunes to
         # MaskedNode leaves (structure mismatch -> crash); they keep
         # full moments and rely on the exact-zero freeze scaling below,
-        # which produces identical parameter trajectories.
-        if opt not in ("adamp", "sgdp"):
+        # which produces identical parameter trajectories. adahessian
+        # likewise (its hessian_diag extra arg is a full tree).
+        if opt not in ("adamp", "sgdp", "adahessian"):
             moments = [optax.masked(optax.chain(*moments), train_mask)]
     chain.extend(moments)
 

@@ -28,7 +28,7 @@ import optax
 
 from mofo_tpu.core.config import PretrainConfig
 from mofo_tpu.ops import masking, patchify
-from mofo_tpu.train.optim import global_norm
+from mofo_tpu.train.optim import global_norm, hutchinson_diag
 from mofo_tpu.train.train_state import TrainState, ema_update
 
 Array = jax.Array
@@ -134,6 +134,7 @@ def make_pretrain_step(
     cfg: PretrainConfig,
     lr_schedule: Optional[np.ndarray] = None,
     augment_fn: Optional[Callable[[Array, Batch], Batch]] = None,
+    second_order: bool = False,
 ) -> Callable[[TrainState, Batch, Array, Array], Tuple[TrainState, Dict]]:
     """Returns step_fn(state, batch, rng, loss_weight) -> (state, metrics).
 
@@ -143,6 +144,10 @@ def make_pretrain_step(
     With update_freq > 1, B must be divisible by it (microbatches are a
     leading reshape). rng: per-run key; folded with the step counter.
     loss_weight: scalar for the MOFO gradual weighting (0.0 if unused).
+    second_order (adahessian): also compute the Hutchinson
+    Hessian-diagonal probe of the same stochastic loss (the reference's
+    create_graph=True second backward, engine_for_pretraining.py:173)
+    and pass it to the optimizer as the hessian_diag extra arg.
     """
     lr_arr = (
         jnp.asarray(lr_schedule) if lr_schedule is not None else None
@@ -159,6 +164,16 @@ def make_pretrain_step(
                 model, params, mbatch, mrng, cfg, loss_weight, train=True
             )
 
+        def probe(mbatch, mrng):
+            # Hessian of the SAME stochastic loss the grads came from
+            # (same mask/dropout keys); independent Rademacher key.
+            return hutchinson_diag(
+                lambda p: jax.grad(loss_fn)(p, mbatch, mrng),
+                state.params,
+                jax.random.fold_in(mrng, 0x5EED),
+            )
+
+        hd = None
         if cfg.update_freq > 1:
             k = cfg.update_freq
             micro = jax.tree.map(
@@ -168,32 +183,38 @@ def make_pretrain_step(
             rngs = jax.random.split(rng, k)
 
             def scan_body(carry, xs):
-                loss_sum, grad_sum = carry
                 mbatch, mrng = xs
                 loss, grads = jax.value_and_grad(loss_fn)(
                     state.params, mbatch, mrng
                 )
-                return (
-                    loss_sum + loss,
-                    jax.tree.map(jnp.add, grad_sum, grads),
-                ), None
+                acc = (loss, grads) + (
+                    (probe(mbatch, mrng),) if second_order else ()
+                )
+                return jax.tree.map(jnp.add, carry, acc), None
 
-            zero_grads = jax.tree.map(
+            zeros = lambda: jax.tree.map(
                 lambda p: jnp.zeros(p.shape, jnp.float32), state.params
             )
-            (loss_sum, grad_sum), _ = jax.lax.scan(
-                scan_body, (jnp.zeros([], jnp.float32), zero_grads),
-                (micro, rngs),
+            init = (jnp.zeros([], jnp.float32), zeros()) + (
+                (zeros(),) if second_order else ()
             )
-            loss = loss_sum / k
-            grads = jax.tree.map(lambda g: g / k, grad_sum)
+            acc, _ = jax.lax.scan(scan_body, init, (micro, rngs))
+            loss = acc[0] / k
+            grads = jax.tree.map(lambda g: g / k, acc[1])
+            if second_order:
+                hd = jax.tree.map(lambda h: h / k, acc[2])
         else:
             loss, grads = jax.value_and_grad(loss_fn)(
                 state.params, batch, rng
             )
+            if second_order:
+                hd = probe(batch, rng)
 
         grad_norm = global_norm(grads)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        extra = {"hessian_diag": hd} if second_order else {}
+        updates, opt_state = tx.update(
+            grads, state.opt_state, state.params, **extra
+        )
         params = optax.apply_updates(state.params, updates)
 
         ema = state.ema_params

@@ -133,6 +133,50 @@ class TestFinetuneStep:
         ):
             np.testing.assert_array_equal(np.asarray(pa), pb)
 
+    def test_adahessian_with_fp16_loss_scale(self):
+        """adahessian on the finetune surface under fp16: the Hutchinson
+        probe is taken on the SCALED loss and must be unscaled alongside
+        the gradients (H of scale*L = scale*H), or the curvature estimate
+        would grow with the loss scale."""
+        from mofo_tpu.train.loss_scale import DynamicLossScale
+
+        cfg = tiny_cfg()
+        batch = class_colored_batch(cfg)
+        lr = np.full(8, 1e-3, np.float32)
+
+        def run(loss_scale_power):
+            model = tiny_classifier(cfg, dtype=jnp.float32)
+            params = model.init(jax.random.PRNGKey(0), batch["clip"])[
+                "params"
+            ]
+            tx = optim.create_optimizer(
+                params, lr_schedule=lr, opt="adahessian"
+            )
+            ls = (
+                DynamicLossScale.create(
+                    initial_scale_power=loss_scale_power,
+                    growth_interval=10_000,
+                )
+                if loss_scale_power
+                else None
+            )
+            state = TrainState.create(params, tx, loss_scale=ls)
+            step = jax.jit(
+                make_finetune_step(model, tx, cfg, lr, second_order=True)
+            )
+            state, m = step(state, batch, jax.random.PRNGKey(1))
+            assert np.isfinite(float(m["loss"]))
+            return state.params
+
+        # f32 model either way: the ONLY difference is the loss scale,
+        # so correctly-unscaled grads + hessian give the same step
+        p_plain = run(None)
+        p_scaled = run(6)  # scale 64
+        for a, b in zip(jax.tree.leaves(p_plain), jax.tree.leaves(p_scaled)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+            )
+
     def test_bb_focused_step(self):
         cfg = tiny_cfg()
         model = create_model(

@@ -224,7 +224,7 @@ class TestZoo:
         params = {"w": jnp.ones((2,))}
         with pytest.raises(ValueError, match="Unknown optimizer"):
             optim.create_optimizer(
-                params, lr_schedule=np.array([0.1]), opt="adahessian"
+                params, lr_schedule=np.array([0.1]), opt="shampoo"
             )
 
 
@@ -449,3 +449,89 @@ class TestAdamPFreeze:
             assert not np.allclose(
                 np.asarray(new["head"]["w"]), np.asarray(params["head"]["w"])
             ), opt
+
+
+class TestAdaHessian:
+    """AdaHessian (reference zoo entry optim_factory.py:142-143, timm's
+    Adahessian): Adam first moment on grads, second moment on the
+    Hutchinson Hessian-diagonal estimate."""
+
+    def test_matches_numpy_reference(self):
+        import optax
+
+        b1, b2, eps, lr, wd = 0.9, 0.999, 1e-8, 0.05, 0.02
+        rng = np.random.RandomState(0)
+        params = {"w": jnp.asarray(rng.randn(3, 4), jnp.float32),
+                  "bias": jnp.asarray(rng.randn(4), jnp.float32)}
+        tx = optim.create_optimizer(
+            params, opt="adahessian", lr_schedule=np.full(8, lr),
+            weight_decay=wd, betas=(b1, b2), eps=eps,
+        )
+        st = tx.init(params)
+        p_np = {k: np.asarray(v, np.float64) for k, v in params.items()}
+        mu = {k: np.zeros_like(v) for k, v in p_np.items()}
+        nu = {k: np.zeros_like(v) for k, v in p_np.items()}
+        p_jax = params
+        for t in range(1, 6):
+            g = {k: rng.randn(*v.shape).astype(np.float32)
+                 for k, v in p_np.items()}
+            h = {k: rng.randn(*v.shape).astype(np.float32)
+                 for k, v in p_np.items()}
+            upd, st = tx.update(
+                jax.tree.map(jnp.asarray, g), st, p_jax,
+                hessian_diag=jax.tree.map(jnp.asarray, h),
+            )
+            p_jax = optax.apply_updates(p_jax, upd)
+            # numpy twin of timm's step: wd multiplies p (decoupled),
+            # denom = (nu_hat)^(k/2) + eps with hessian_power k = 1
+            bc1, bc2 = 1 - b1 ** t, 1 - b2 ** t
+            for k in p_np:
+                mu[k] = b1 * mu[k] + (1 - b1) * g[k]
+                nu[k] = b2 * nu[k] + (1 - b2) * h[k] * h[k]
+                denom = np.sqrt(nu[k] / bc2) + eps
+                decay = wd if k == "w" else 0.0  # bias: no decay
+                p_np[k] = (
+                    p_np[k] * (1 - lr * decay)
+                    - lr * (mu[k] / bc1) / denom
+                )
+        for k in p_np:
+            np.testing.assert_allclose(
+                np.asarray(p_jax[k]), p_np[k], rtol=2e-5, atol=2e-6,
+                err_msg=k,
+            )
+
+    def test_hutchinson_exact_on_quadratic(self):
+        """z ⊙ Hz is exact on quadratics for any Rademacher z:
+        (Hz)_i = H_ii z_i when H is diagonal, and z_i^2 = 1."""
+        a = {"w": jnp.arange(1.0, 13.0).reshape(3, 4),
+             "b": jnp.arange(1.0, 5.0)}
+        loss = lambda p: 0.5 * sum(
+            jnp.sum(ai * pi ** 2)
+            for ai, pi in zip(jax.tree.leaves(a), jax.tree.leaves(p))
+        )
+        params = jax.tree.map(jnp.ones_like, a)
+        for seed in (0, 1, 7):
+            hd = optim.hutchinson_diag(
+                jax.grad(loss), params, jax.random.PRNGKey(seed)
+            )
+            for k in a:
+                np.testing.assert_allclose(
+                    np.asarray(hd[k]), np.asarray(a[k]), rtol=1e-6
+                )
+
+    def test_requires_hessian_diag(self):
+        import pytest
+
+        params = {"w": jnp.ones((2, 2))}
+        tx = optim.create_optimizer(
+            params, opt="adahessian", lr_schedule=np.array([0.1])
+        )
+        st = tx.init(params)
+        with pytest.raises(ValueError, match="hessian_diag"):
+            tx.update(jax.tree.map(jnp.ones_like, params), st, params)
+
+    def test_is_second_order(self):
+        assert optim.is_second_order("adahessian")
+        assert optim.is_second_order("lookahead_adahessian")
+        assert not optim.is_second_order("adamw")
+        assert not optim.is_second_order("lookahead_adamw")

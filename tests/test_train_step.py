@@ -99,6 +99,44 @@ class TestPretrainStep:
         state, metrics = step(state, batch, jax.random.PRNGKey(2), 0.0)
         assert np.isfinite(float(metrics["loss"]))
 
+    def test_adahessian_second_order_step(self):
+        """adahessian end to end: the step computes the Hutchinson probe
+        (jvp of grad — the reference's create_graph=True second backward,
+        engine_for_pretraining.py:173) and feeds it as the optimizer's
+        hessian_diag extra arg. Covers both the plain and the
+        grad-accumulation (scan) paths."""
+        model = tiny_model()
+        # flat schedule: a warmup schedule's first step is lr=0, which
+        # would make the first update a no-op
+        lr = np.full(8, 1e-3, np.float32)
+        for freq in (1, 2):
+            cfg = tiny_cfg(update_freq=freq)
+            tx = optim.create_optimizer(
+                init_state(model, cfg, __import__("optax").adam(0.0)).params,
+                lr_schedule=lr, opt="adahessian",
+            )
+            assert optim.is_second_order("adahessian")
+            state = init_state(model, cfg, tx)
+            step = jax.jit(
+                make_pretrain_step(model, tx, cfg, lr, second_order=True)
+            )
+            batch = {
+                "clip": jax.random.normal(
+                    jax.random.PRNGKey(1), (4, 4, 32, 32, 3)
+                )
+            }
+            p0 = state.params
+            for _ in range(2):
+                state, metrics = step(state, batch, jax.random.PRNGKey(2), 0.0)
+                assert np.isfinite(float(metrics["loss"])), freq
+            # bitwise: adahessian updates g/|h| can be tiny where the
+            # curvature estimate is large, but never exactly zero
+            moved = jax.tree.map(
+                lambda a, b: not np.array_equal(np.asarray(a), np.asarray(b)),
+                p0, state.params,
+            )
+            assert all(jax.tree.leaves(moved)), freq
+
     def test_motion_masking_and_weighted_loss(self):
         cfg = tiny_cfg()
         cfg = dataclasses.replace(
