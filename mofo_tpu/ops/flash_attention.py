@@ -707,7 +707,8 @@ def _mh_bwd_impl(q, k, v, out, lse, do, scale, heads, interpret):
             # budget by head count.
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_vmem_mb(
-                    (100 if heads > 8 else 64) if bq > 512 else 32
+                    (100 if heads > 8 else 64) if bq > 512
+                    else (80 if heads > 8 else 32)
                 ) * 1024 * 1024,
                 # batch programs are independent; the kv-block dim is
                 # sequential (dq accumulates across it in VMEM scratch)
@@ -1090,9 +1091,12 @@ def _qkv_bwd_impl(qkv, out, lse, do, scale, heads, interpret):
             out_shape=jax.ShapeDtypeStruct((b, n_pad, A3), qkvp.dtype),
             compiler_params=pltpu.CompilerParams(
                 # measured Mosaic stack: h-inner 88.1M at the 6-head
-                # 1568-token decoder; h-outer stays far smaller (one
-                # head's working set)
-                vmem_limit_bytes=_vmem_mb(100 if bq > 512 else 40) * 1024 * 1024,
+                # 1568-token decoder; h-outer at the 12-head classifier
+                # needs 62.0M even at 224-row blocks (the dqkv output
+                # block alone is bq x 3A) — budget by head count
+                vmem_limit_bytes=_vmem_mb(
+                    100 if bq > 512 else (80 if heads > 8 else 40)
+                ) * 1024 * 1024,
                 dimension_semantics=("parallel",),
             ),
             interpret=interpret,
