@@ -535,3 +535,26 @@ class TestAdaHessian:
         assert optim.is_second_order("lookahead_adahessian")
         assert not optim.is_second_order("adamw")
         assert not optim.is_second_order("lookahead_adamw")
+
+    def test_lookahead_adahessian_chain(self):
+        """The lookahead wrapper (plain GradientTransformation) must
+        compose with the extra-args chain: hessian_diag flows to
+        scale_by_adahessian, lookahead ignores it."""
+        import optax
+
+        params = {"w": jnp.ones((4, 4)), "bias": jnp.zeros((4,))}
+        tx = optim.create_optimizer(
+            params, opt="lookahead_adahessian",
+            lr_schedule=np.full(16, 0.1), weight_decay=0.01,
+        )
+        st = tx.init(params)
+        g = jax.tree.map(lambda p: jnp.full_like(p, 0.5), params)
+        h = jax.tree.map(lambda p: jnp.full_like(p, 2.0), params)
+        p = params
+        for _ in range(7):  # crosses the k=6 lookahead sync step
+            upd, st = tx.update(g, st, p, hessian_diag=h)
+            p = optax.apply_updates(p, upd)
+        assert all(
+            np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(p)
+        )
+        assert not np.allclose(np.asarray(p["w"]), 1.0)
