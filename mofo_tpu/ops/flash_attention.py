@@ -706,9 +706,12 @@ def _mh_bwd_impl(q, k, v, out, lse, do, scale, heads, interpret):
             # fully reuse buffers across the unrolled head loop) —
             # budget by head count.
             compiler_params=pltpu.CompilerParams(
+                # the >8-head small-block tier is for LONG-kv geometries
+                # (12-head 1568-token at bq=224 measures 62.0M); short-kv
+                # callers (the 160-token encoder) keep the tight tier
                 vmem_limit_bytes=_vmem_mb(
                     (100 if heads > 8 else 64) if bq > 512
-                    else (80 if heads > 8 else 32)
+                    else (80 if heads > 8 and n_pad > 512 else 32)
                 ) * 1024 * 1024,
                 # batch programs are independent; the kv-block dim is
                 # sequential (dq accumulates across it in VMEM scratch)
@@ -1093,9 +1096,12 @@ def _qkv_bwd_impl(qkv, out, lse, do, scale, heads, interpret):
                 # measured Mosaic stack: h-inner 88.1M at the 6-head
                 # 1568-token decoder; h-outer at the 12-head classifier
                 # needs 62.0M even at 224-row blocks (the dqkv output
-                # block alone is bq x 3A) — budget by head count
+                # block alone is bq x 3A) — budget by head count for
+                # long-kv geometries; short-kv (160-token encoder)
+                # keeps the tight tier
                 vmem_limit_bytes=_vmem_mb(
-                    100 if bq > 512 else (80 if heads > 8 else 40)
+                    100 if bq > 512
+                    else (80 if heads > 8 and n_pad > 512 else 40)
                 ) * 1024 * 1024,
                 dimension_semantics=("parallel",),
             ),
