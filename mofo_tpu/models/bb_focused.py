@@ -189,6 +189,7 @@ class VisionTransformerBBFocused(nn.Module):
                     drop_path_rate=0.0,
                     init_values=self.init_values,
                     dtype=self.dtype,
+                    attn_impl=self.attn_impl,
                     name=f"local_MCA_{i}",
                 )(
                     mca_tokens,

@@ -322,6 +322,7 @@ class CrossAttention(nn.Module):
     attn_head_dim: Optional[int] = None
     dtype: Dtype = jnp.float32
     kernel_init: Callable = trunc_normal_init()
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -358,33 +359,74 @@ class CrossAttention(nn.Module):
                 [jnp.zeros_like(v_bias), v_bias]
             ).astype(self.dtype)
 
-        q = q.reshape(B, Nx, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-        kv = kv.reshape(B, Ny, 2, self.num_heads, head_dim)
-        k = kv[:, :, 0].transpose(0, 2, 1, 3)
-        v = kv[:, :, 1].transpose(0, 2, 1, 3)
+        # Flat fused path: the multihead flash kernel takes the (B, N, A)
+        # layout the projections produce (zero transposes) and masks kv
+        # columns in-kernel via an additive bias row — this is what keeps
+        # the 1568-token MCA cross-attention of the BB-focused classifier
+        # off the naive N^2 XLA path (whose f32 logits+probs round-trip
+        # ~0.7 GB/step through HBM at the bench geometry).
+        from mofo_tpu.ops.attention import _PALLAS_MIN_SEQ, _on_tpu
 
-        attn_bias = None
-        if kv_mask is not None:
-            # (B, Ny) boolean -> additive bias (B, 1, 1, Ny)
-            attn_bias = jnp.where(
-                kv_mask[:, None, None, :], 0.0, -jnp.inf
-            ).astype(jnp.float32)
-
-        dropout_rng = None
-        if not deterministic and self.attn_drop > 0.0:
-            dropout_rng = self.make_rng("dropout")
-        out = dot_product_attention(
-            q,
-            k,
-            v,
-            scale=scale,
-            bias=attn_bias,
-            dropout_rate=self.attn_drop,
-            dropout_rng=dropout_rng,
-            deterministic=deterministic,
-            impl="xla",
+        drop_active = not deterministic and self.attn_drop > 0.0
+        use_flat = (
+            self.attn_impl in ("auto", "pallas")
+            and not drop_active
+            and Nx == Ny
+            and self.dtype != jnp.float16  # Mosaic has no f16 type
+            and (
+                self.attn_impl == "pallas"
+                or (_on_tpu() and Ny >= _PALLAS_MIN_SEQ)
+            )
         )
-        out = out.transpose(0, 2, 1, 3).reshape(B, Nx, all_head_dim)
+        if use_flat:
+            from mofo_tpu.ops.flash_attention import flash_attention_mh
+
+            kv_bias = None
+            if kv_mask is not None:
+                # 0 / -1e30 per kv position; every sample keeps >=1 valid
+                # column (the BB fusing falls back to the in-box set when
+                # out-box is empty), so no row is fully masked
+                kv_bias = jnp.where(kv_mask, 0.0, -1e30).astype(
+                    jnp.float32
+                )
+            out = flash_attention_mh(
+                q,
+                kv[:, :, :all_head_dim],
+                kv[:, :, all_head_dim:],
+                scale=scale,
+                num_heads=self.num_heads,
+                kv_bias=kv_bias,
+            )  # (B, Nx, A) — projection-ready
+        else:
+            qh = q.reshape(
+                B, Nx, self.num_heads, head_dim
+            ).transpose(0, 2, 1, 3)
+            kvh = kv.reshape(B, Ny, 2, self.num_heads, head_dim)
+            k = kvh[:, :, 0].transpose(0, 2, 1, 3)
+            v = kvh[:, :, 1].transpose(0, 2, 1, 3)
+
+            attn_bias = None
+            if kv_mask is not None:
+                # (B, Ny) boolean -> additive bias (B, 1, 1, Ny)
+                attn_bias = jnp.where(
+                    kv_mask[:, None, None, :], 0.0, -jnp.inf
+                ).astype(jnp.float32)
+
+            dropout_rng = None
+            if drop_active:
+                dropout_rng = self.make_rng("dropout")
+            out = dot_product_attention(
+                qh,
+                k,
+                v,
+                scale=scale,
+                bias=attn_bias,
+                dropout_rate=self.attn_drop,
+                dropout_rng=dropout_rng,
+                deterministic=deterministic,
+                impl="xla",
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B, Nx, all_head_dim)
         out = nn.Dense(
             self.dim,
             dtype=self.dtype,
@@ -500,6 +542,7 @@ class MCABlock(nn.Module):
     init_values: float = 0.0
     dtype: Dtype = jnp.float32
     kernel_init: Callable = trunc_normal_init()
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -519,6 +562,7 @@ class MCABlock(nn.Module):
             proj_drop=self.drop,
             dtype=self.dtype,
             kernel_init=self.kernel_init,
+            attn_impl=self.attn_impl,
             name="attn",
         )(
             norm1(x).astype(self.dtype),

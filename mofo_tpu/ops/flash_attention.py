@@ -407,13 +407,25 @@ def flash_attention(
 # ---------------------------------------------------------------------------
 
 
-def _mh_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
-                   scale, n_valid, heads, base2=False):
+def _mh_fwd_kernel(q_ref, k_ref, v_ref, *refs, scale, n_valid, heads,
+                   base2=False, has_bias=False):
     # q: (1, bq, H*D); k, v: (1, Nk, H*D); o: (1, bq, H*D);
     # lse: (1, 1, H, 8, bq) — per-head row logsumexp, replicated over the
     # 8 sublanes (same Mosaic constraint as the head-major kernel above).
     # base2: scores carry a folded log2e and lse is stored in base-2
     # units — exp2/log2 replace exp/log (see _LOG2E).
+    # has_bias: an extra (1, 8, Nk) f32 input ref follows v — a per-kv-
+    # position additive bias row (0 / -1e30), shared across heads and q
+    # rows. It is added AFTER the scale fold (the mask values are huge
+    # negatives in either base), which is what masks kv columns exactly
+    # (their p underflows to 0). Used by the masked cross-attention of
+    # the BB-focused classifier (reference modeling_finetune.py:100-160
+    # runs ragged per-sample attention; the bias row is the batched
+    # equivalent).
+    if has_bias:
+        bias_ref, o_ref, lse_ref = refs
+    else:
+        o_ref, lse_ref = refs
     hd = q_ref.shape[-1] // heads
     s_scale = scale * _LOG2E if base2 else scale
     exp_fn = jnp.exp2 if base2 else jnp.exp
@@ -431,6 +443,8 @@ def _mh_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         if n_valid is not None:  # static: only when kv rows are padded
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < n_valid, s, _NEG_INF)
+        if has_bias:
+            s = s + bias_ref[0, 0:1, :]  # (1, Nk) broadcast over q rows
         return s
 
     # software pipelining: issue head h+1's score matmul before head h's
@@ -456,9 +470,8 @@ def _mh_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         lse_ref[0, 0, h] = jnp.broadcast_to(lse_row, (8, lse_row.shape[1]))
 
 
-def _mh_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, ld_ref,
-                    dq_ref, dk_ref, dv_ref, dq_acc_ref,
-                    *, scale, n_valid, heads, base2=False):
+def _mh_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, ld_ref, *refs,
+                    scale, n_valid, heads, base2=False, has_bias=False):
     # ONE backward pass for dq, dk, dv: grid (B, nk), sequential over kv
     # blocks. k/v/dk/dv: (1, bk, H*D) blocks; q/do/dq: (1, Nq, H*D) full
     # (dq is a float32 VMEM accumulator revisited across the nk steps —
@@ -471,6 +484,15 @@ def _mh_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, ld_ref,
     # P (and so all their contributions) exactly zero.
     # dq accumulates in float32 VMEM *scratch* (single-buffered, unlike
     # outputs) and is written to the bf16 output once, at the last step.
+    # has_bias: extra (1, 8, bk) f32 input after ld — this kv block's
+    # slice of the additive bias row; added to every score recompute so
+    # masked columns keep p = 0 (their dk/dv/dq contributions vanish,
+    # and the bias itself carries no gradient).
+    if has_bias:
+        bias_ref = refs[0]
+        dq_ref, dk_ref, dv_ref, dq_acc_ref = refs[1:]
+    else:
+        dq_ref, dk_ref, dv_ref, dq_acc_ref = refs
     ki = pl.program_id(1)
     nk = pl.num_programs(1)
 
@@ -505,6 +527,9 @@ def _mh_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, ld_ref,
         if n_valid is not None:
             col = k0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < n_valid, s, _NEG_INF)
+        if has_bias:
+            # (1, bk) row for THIS kv block, broadcast over q rows
+            s = s + bias_ref[0, 0, 0:1, :]
         return s
 
     for qi in range(nq):
@@ -570,8 +595,12 @@ def _mh_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, ld_ref,
         dq_ref[0] = dq_acc_ref[...].astype(dq_ref.dtype)
 
 
-def _mh_fwd_impl(q, k, v, scale, heads, interpret):
-    """q, k, v: (B, N, H*D). Returns (out, lse (B, nq, H, 8, BQ))."""
+def _mh_fwd_impl(q, k, v, scale, heads, interpret, kv_bias=None):
+    """q, k, v: (B, N, H*D). Returns (out, lse (B, nq, H, 8, BQ)).
+
+    kv_bias: optional (B, N) f32 additive bias per kv position (0 or
+    -1e30 mask values), shared across heads/queries — see _mh_fwd_kernel.
+    """
     B, N, A = q.shape
     bq = _block_for(N, heads)
     n_pad = -(-N // bq) * bq
@@ -581,15 +610,20 @@ def _mh_fwd_impl(q, k, v, scale, heads, interpret):
     vp = _pad_to(v, n_pad, 1)
     nq = n_pad // bq
     base2 = q.dtype == jnp.bfloat16
+    has_bias = kv_bias is not None
+    bias_ops = ()
+    if has_bias:
+        biasp = _pad_to(kv_bias.astype(jnp.float32), n_pad, 1)
+        bias_ops = (jnp.broadcast_to(biasp[:, None, :], (B, 8, n_pad)),)
 
-    def call(qp, kp, vp):
+    def call(qp, kp, vp, *bias8):
         # batch extent from the operand: under SPMD partitioning
         # (sharded_kernel.batch_dim0_call) this is the LOCAL shard
         b = qp.shape[0]
         out, lse = pl.pallas_call(
             functools.partial(
                 _mh_fwd_kernel, scale=scale, n_valid=n_valid, heads=heads,
-                base2=base2,
+                base2=base2, has_bias=has_bias,
             ),
             grid=(b, nq),
             in_specs=[
@@ -599,7 +633,10 @@ def _mh_fwd_impl(q, k, v, scale, heads, interpret):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, n_pad, A), lambda b, i: (b, 0, 0),
                              memory_space=pltpu.VMEM),
-            ],
+            ] + ([
+                pl.BlockSpec((1, 8, n_pad), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] if has_bias else []),
             out_specs=[
                 pl.BlockSpec((1, bq, A), lambda b, i: (b, i, 0),
                              memory_space=pltpu.VMEM),
@@ -623,14 +660,15 @@ def _mh_fwd_impl(q, k, v, scale, heads, interpret):
                 dimension_semantics=("parallel", "parallel"),
             ),
             interpret=interpret,
-        )(qp, kp, vp)
+        )(qp, kp, vp, *bias8)
         return out, lse
 
-    out, lse = batch_dim0_call(call, qp, kp, vp)
+    out, lse = batch_dim0_call(call, qp, kp, vp, *bias_ops)
     return out[:, :N], lse
 
 
-def _mh_bwd_impl(q, k, v, out, lse, do, scale, heads, interpret):
+def _mh_bwd_impl(q, k, v, out, lse, do, scale, heads, interpret,
+                 kv_bias=None):
     B, N, A = q.shape
     hd = A // heads
     bq = _block_for(N, heads)
@@ -661,13 +699,24 @@ def _mh_bwd_impl(q, k, v, out, lse, do, scale, heads, interpret):
     # must match the forward's choice — the saved lse is in base-2 units
     # exactly when the forward ran base2 (bf16)
     base2 = q.dtype == jnp.bfloat16
+    has_bias = kv_bias is not None
+    bias_ops = ()
+    if has_bias:
+        # (B, nk, 8, bq): one 8-sublane-replicated row per kv block, so
+        # the per-block BlockSpec's last-two dims equal the array's
+        # (Mosaic forbids partial minor-dim blocks that aren't 128-
+        # aligned — bq=784 isn't)
+        biasp = _pad_to(kv_bias.astype(jnp.float32), n_pad, 1)
+        bias_ops = (jnp.broadcast_to(
+            biasp.reshape(B, nq, 1, bq), (B, nq, 8, bq)
+        ),)
 
-    def call(qp, kp, vp, dop, ld):
+    def call(qp, kp, vp, dop, ld, *bias8):
         b = qp.shape[0]  # LOCAL batch under SPMD partitioning
         return tuple(pl.pallas_call(
             functools.partial(
                 _mh_dqkv_kernel, scale=scale, n_valid=n_valid, heads=heads,
-                base2=base2,
+                base2=base2, has_bias=has_bias,
             ),
             grid=(b, nq),
             in_specs=[
@@ -682,7 +731,11 @@ def _mh_bwd_impl(q, k, v, out, lse, do, scale, heads, interpret):
                 pl.BlockSpec((1, nq, 2 * heads, bq),
                              lambda b, i: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-            ],
+            ] + ([
+                # this kv block's slice of the bias row
+                pl.BlockSpec((1, 1, 8, bq), lambda b, i: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] if has_bias else []),
             out_specs=[
                 # dq: full-row float32 accumulator, revisited (and kept
                 # in VMEM) across the sequential kv-block steps
@@ -718,9 +771,9 @@ def _mh_bwd_impl(q, k, v, out, lse, do, scale, heads, interpret):
                 dimension_semantics=("parallel", "arbitrary"),
             ),
             interpret=interpret,
-        )(qp, kp, vp, dop, ld))
+        )(qp, kp, vp, dop, ld, *bias8))
 
-    dq, dk, dv = batch_dim0_call(call, qp, kp, vp, dop, ld)
+    dq, dk, dv = batch_dim0_call(call, qp, kp, vp, dop, ld, *bias_ops)
     return dq[:, :N], dk[:, :N], dv[:, :N]
 
 
@@ -746,18 +799,59 @@ def _mh_flash_bwd(scale, heads, interpret, res, do):
 _mh_flash.defvjp(_mh_flash_fwd, _mh_flash_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _mh_flash_b(q, k, v, kv_bias, scale, heads, interpret):
+    out, _ = _mh_fwd_impl(q, k, v, scale, heads, interpret, kv_bias=kv_bias)
+    return out
+
+
+def _mh_flash_b_fwd(q, k, v, kv_bias, scale, heads, interpret):
+    out, lse = _mh_fwd_impl(
+        q, k, v, scale, heads, interpret, kv_bias=kv_bias
+    )
+    return out, (q, k, v, kv_bias, out, lse)
+
+
+def _mh_flash_b_bwd(scale, heads, interpret, res, do):
+    q, k, v, kv_bias, out, lse = res
+    dq, dk, dv = _mh_bwd_impl(
+        q, k, v, out, lse, do, scale, heads, interpret, kv_bias=kv_bias
+    )
+    # the bias is a boolean-mask encoding (0 / -1e30) — non-differentiable
+    # by construction; a zero cotangent keeps the vjp signature total
+    return dq, dk, dv, jnp.zeros_like(kv_bias)
+
+
+_mh_flash_b.defvjp(_mh_flash_b_fwd, _mh_flash_b_bwd)
+
+
 def flash_attention_mh(
     q: Array, k: Array, v: Array, *, scale: float, num_heads: int,
-    interpret: bool | None = None,
+    kv_bias: Array | None = None, interpret: bool | None = None,
 ) -> Array:
     """Fused multihead attention in token-major flat layout.
 
     q, k, v: (B, N, H*Dh) — the layout the fused qkv matmul produces and
     the output projection consumes, so the module needs no transposes.
+
+    kv_bias: optional (B, N) f32 additive bias per kv position, shared
+    across heads and queries (use 0 / -1e30 to mask kv columns exactly:
+    their softmax weight underflows to 0 in forward AND backward). Every
+    row must keep at least one unmasked column or its output is NaN —
+    the BB-focused fusing guarantees this (ops default the kv set to the
+    in-box tokens when the out-box set is empty).
     """
     if interpret is None:
         interpret = not _on_tpu()
     assert q.shape[-1] % num_heads == 0, (q.shape, num_heads)
+    if kv_bias is not None:
+        assert kv_bias.shape == (q.shape[0], k.shape[1]), (
+            kv_bias.shape, q.shape, k.shape,
+        )
+        return _mh_flash_b(
+            q, k, v, kv_bias.astype(jnp.float32), scale, num_heads,
+            interpret,
+        )
     return _mh_flash(q, k, v, scale, num_heads, interpret)
 
 

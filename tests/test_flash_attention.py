@@ -132,6 +132,138 @@ def test_mh_bf16_forward_close():
 
 
 # ---------------------------------------------------------------------------
+# kv-bias (masked cross-attention) path: the BB-focused classifier's MCA
+# block masks out-of-box kv columns with an additive 0/-1e30 row.
+# ---------------------------------------------------------------------------
+
+
+def _kv_mask_bias(B, N, seed=7):
+    rng = np.random.RandomState(seed)
+    mask = rng.rand(B, N) > 0.5
+    mask[:, 3] = True  # >=1 valid kv column per sample
+    maskj = jnp.asarray(mask)
+    return maskj, jnp.where(maskj, 0.0, -1e30).astype(jnp.float32)
+
+
+def _xla_flat_masked(q, k, v, scale, heads, mask):
+    B, N, A = q.shape
+    hd = A // heads
+    to4 = lambda t: t.reshape(B, N, heads, hd).transpose(0, 2, 1, 3)
+    bias = jnp.where(mask[:, None, None, :], 0.0, -jnp.inf)
+    o = xla_attention(to4(q), to4(k), to4(v), scale=scale, bias=bias)
+    return o.transpose(0, 2, 1, 3).reshape(B, N, A)
+
+
+@pytest.mark.parametrize("N", [160, 300, 1568])
+def test_mh_kv_bias_forward_matches_xla(N):
+    q, k, v = _flat_qkv(N=N, B=1)
+    mask, bias = _kv_mask_bias(1, N)
+    scale = 64**-0.5
+    ours = flash_attention_mh(
+        q, k, v, scale=scale, num_heads=3, kv_bias=bias, interpret=True
+    )
+    ref = _xla_flat_masked(q, k, v, scale, 3, mask)
+    np.testing.assert_allclose(
+        np.asarray(ours), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
+@pytest.mark.parametrize("N", [300, 1280])  # 1280 -> two 640 kv blocks
+def test_mh_kv_bias_gradients_match_xla(N):
+    q, k, v = _flat_qkv(N=N, B=1, H=2)
+    mask, bias = _kv_mask_bias(1, N)
+    scale = 64**-0.5
+
+    def loss_mh(q, k, v):
+        out = flash_attention_mh(
+            q, k, v, scale=scale, num_heads=2, kv_bias=bias,
+            interpret=True,
+        )
+        return jnp.sum(jnp.sin(out))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(_xla_flat_masked(q, k, v, scale, 2, mask)))
+
+    g_ours = jax.grad(loss_mh, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ours, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5, rtol=3e-5,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_mh_kv_bias_bf16_grads_close():
+    q, k, v = _flat_qkv(N=320, B=1)
+    mask, bias = _kv_mask_bias(1, 320)
+    scale = 64**-0.5
+    q16, k16, v16 = (x.astype(jnp.bfloat16) for x in (q, k, v))
+
+    def loss(fn, *args):
+        return jnp.sum(
+            jnp.sin(fn(*args).astype(jnp.float32) / 8.0)
+        )
+
+    g_ours = jax.grad(
+        lambda *a: loss(
+            lambda q, k, v: flash_attention_mh(
+                q, k, v, scale=scale, num_heads=3, kv_bias=bias,
+                interpret=True,
+            ),
+            *a,
+        ),
+        argnums=(0, 1, 2),
+    )(q16, k16, v16)
+    g_ref = jax.grad(
+        lambda *a: loss(
+            lambda q, k, v: _xla_flat_masked(q, k, v, scale, 3, mask), *a
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b, name in zip(g_ours, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a, dtype=np.float32), np.asarray(b),
+            atol=3e-2, rtol=3e-2, err_msg=f"d{name} mismatch",
+        )
+
+
+def test_cross_attention_pallas_matches_xla():
+    """CrossAttention's flat fused path (explicit pallas, interpret off-TPU)
+    must match its head-major XLA path — params shared, same kv mask."""
+    from mofo_tpu.models.layers import CrossAttention
+
+    B, N, dim, heads = 1, 160, 128, 2
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(B, N, dim).astype(np.float32))
+    y = jnp.asarray(rng.randn(B, N, dim).astype(np.float32))
+    mask, _ = _kv_mask_bias(B, N)
+
+    mod_x = CrossAttention(dim=dim, num_heads=heads, qkv_bias=True,
+                           attn_impl="xla")
+    mod_p = CrossAttention(dim=dim, num_heads=heads, qkv_bias=True,
+                           attn_impl="pallas")
+    params = mod_x.init(jax.random.PRNGKey(0), x, y, kv_mask=mask)
+
+    def run(mod, params):
+        return mod.apply(params, x, y, kv_mask=mask)
+
+    out_x = run(mod_x, params)
+    out_p = run(mod_p, params)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_x), atol=3e-5, rtol=3e-5
+    )
+
+    gx = jax.grad(lambda p: jnp.sum(jnp.sin(run(mod_x, p))))(params)
+    gp = jax.grad(lambda p: jnp.sum(jnp.sin(run(mod_p, p))))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-5
+        ),
+        gx, gp,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Fused-qkv interface (flash_attention_qkv)
 # ---------------------------------------------------------------------------
 

@@ -96,6 +96,38 @@ def test_mh_gradients_on_chip():
         )
 
 
+def test_mh_kv_bias_gradients_on_chip():
+    # the MCA fusing geometry: 3 heads x 64 at 1568 tokens, masked kv
+    Hm = 3
+    q, k, v = (_rand((B, N, Hm * HD), s) for s in (21, 22, 23))
+    mask = np.random.RandomState(24).rand(B, N) > 0.5
+    mask[:, 0] = True
+    maskj = jnp.asarray(mask)
+    bias = jnp.where(maskj, 0.0, -1e30).astype(jnp.float32)
+
+    def loss_mh(q, k, v):
+        out = flash_attention_mh(
+            q, k, v, scale=SCALE, num_heads=Hm, kv_bias=bias,
+            interpret=False,
+        )
+        return jnp.sum(out * jnp.cos(out * 0.1))
+
+    def loss_ref(q, k, v):
+        to4 = lambda t: t.reshape(B, N, Hm, HD).transpose(0, 2, 1, 3)
+        b4 = jnp.where(maskj[:, None, None, :], 0.0, -jnp.inf)
+        o = xla_attention(to4(q), to4(k), to4(v), scale=SCALE, bias=b4)
+        out = o.transpose(0, 2, 1, 3).reshape(B, N, Hm * HD)
+        return jnp.sum(out * jnp.cos(out * 0.1))
+
+    g_ours = jax.jit(jax.grad(loss_mh, argnums=(0, 1, 2)))(q, k, v)
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
+    for a, b, name in zip(g_ours, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3,
+            err_msg=f"d{name} mismatch",
+        )
+
+
 def test_headmajor_gradients_on_chip():
     q, k, v = (_rand((B, H, N, HD), s) for s in (9, 10, 11))
 
