@@ -654,7 +654,14 @@ def _mh_fwd_impl(q, k, v, scale, heads, interpret, kv_bias=None):
             # f32 (bq, Nk) tiles: the 12-head finetune geometry needs
             # 58.4M (measured OOM at the old 48M limit)
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_vmem_mb(80 if bq > 512 else 24) * 1024 * 1024,
+                vmem_limit_bytes=_vmem_mb(
+                    # long-kv geometries (32-frame / 3136-token
+                    # variants) keep full k/v rows + two live
+                    # (bq, Nk) f32 score tiles even at small
+                    # divisor blocks: 6-head N=3136 at bq=448
+                    # measures 29.2M vs the 24M short-kv tier
+                    80 if (bq > 512 or n_pad > 2048) else 24
+                ) * 1024 * 1024,
                 # every (batch, q-block) program is independent — let
                 # Mosaic pipeline DMA across both grid dims
                 dimension_semantics=("parallel", "parallel"),
@@ -1109,7 +1116,14 @@ def _qkv_fwd_impl(qkv, scale, heads, interpret):
                 jax.ShapeDtypeStruct((b, nq, heads, 8, bq), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_vmem_mb(80 if bq > 512 else 24) * 1024 * 1024,
+                vmem_limit_bytes=_vmem_mb(
+                    # long-kv geometries (32-frame / 3136-token
+                    # variants) keep full k/v rows + two live
+                    # (bq, Nk) f32 score tiles even at small
+                    # divisor blocks: 6-head N=3136 at bq=448
+                    # measures 29.2M vs the 24M short-kv tier
+                    80 if (bq > 512 or n_pad > 2048) else 24
+                ) * 1024 * 1024,
                 dimension_semantics=("parallel", "parallel"),
             ),
             interpret=interpret,

@@ -23,11 +23,12 @@ import jax
 import jax.numpy as jnp
 
 
-def vit_b_cls_fwd_flops(batch: int, n_classes: int = 174) -> float:
+def vit_b_cls_fwd_flops(
+    batch: int, n_classes: int = 174, n: int = 1568
+) -> float:
     def block_flops(n, d, mlp=4):
         return 2 * n * d * (3 * d + d + 2 * mlp * d) + 4 * n * n * d
 
-    n = 1568
     blocks = 12 * block_flops(n, 768)
     patch = 2 * n * 1536 * 768
     head = 2 * 768 * n_classes
@@ -45,11 +46,21 @@ def main():
     enable_compilation_cache()
     bb = "--bb" in sys.argv
     ev = "--eval" in sys.argv
+    # --frames 32 benches the long-clip variant (3136 tokens through the
+    # blocked flash fallback kernels); default is the 16-frame recipe
+    frames = 16
+    if "--frames" in sys.argv:
+        frames = int(sys.argv[sys.argv.index("--frames") + 1])
     B = int(os.environ.get("MOFO_BENCH_BATCH", "48" if ev else "24"))
+    if frames != 16 and "MOFO_BENCH_BATCH" not in os.environ:
+        B = max(1, B * 16 // frames)  # keep the default memory footprint
     n_classes = 174
-    cfg = FinetuneConfig(batch_size=B, nb_classes=n_classes)
+    n_tok = frames // 2 * 196
+    cfg = FinetuneConfig(
+        batch_size=B, nb_classes=n_classes, num_frames=frames
+    )
     clip = jax.random.normal(
-        jax.random.PRNGKey(0), (B, 16, 224, 224, 3), jnp.float32
+        jax.random.PRNGKey(0), (B, frames, 224, 224, 3), jnp.float32
     )
     labels = jax.random.randint(
         jax.random.PRNGKey(1), (B,), 0, n_classes
@@ -57,17 +68,17 @@ def main():
     if bb:
         model = create_model(
             "vit_base_patch16_224_BB_focused", num_classes=n_classes,
-            fusing_method="MCA", dtype=jnp.bfloat16,
+            fusing_method="MCA", dtype=jnp.bfloat16, all_frames=frames,
         )
         bk1, bk2 = jax.random.split(jax.random.PRNGKey(4))
-        xy1 = jax.random.uniform(bk1, (B, 16, 2), minval=0.0, maxval=96.0)
-        wh = jax.random.uniform(bk2, (B, 16, 2), minval=48.0, maxval=128.0)
+        xy1 = jax.random.uniform(bk1, (B, frames, 2), minval=0.0, maxval=96.0)
+        wh = jax.random.uniform(bk2, (B, frames, 2), minval=48.0, maxval=128.0)
         boxes = jnp.concatenate([xy1, xy1 + wh], axis=-1)
         params = model.init(jax.random.PRNGKey(2), clip, boxes)["params"]
     else:
         model = create_model(
             "vit_base_patch16_224", num_classes=n_classes,
-            dtype=jnp.bfloat16,
+            dtype=jnp.bfloat16, all_frames=frames,
         )
         params = model.init(jax.random.PRNGKey(2), clip)["params"]
     lr = schedules.cosine_schedule(5e-4, 1e-6, 100, 100, 5)
@@ -101,7 +112,7 @@ def main():
             return (None, m["loss"]), m
 
         carry0 = (None, jnp.float32(0.0))
-        flops = vit_b_cls_fwd_flops(B, n_classes)  # forward only
+        flops = vit_b_cls_fwd_flops(B, n_classes, n_tok)  # forward only
     else:
         step = jax.jit(make_finetune_step(model, tx, cfg, bb_focused=bb),
                        donate_argnums=(0,))
@@ -112,7 +123,7 @@ def main():
             return (st, m["loss"]), m
 
         carry0 = (state, jnp.float32(0.0))
-        flops = 3 * vit_b_cls_fwd_flops(B, n_classes)
+        flops = 3 * vit_b_cls_fwd_flops(B, n_classes, n_tok)
 
     # shared harness: warmup + scalar fetch (block through the relay),
     # then a chained run with ONE scalar fetch at the end
@@ -127,14 +138,15 @@ def main():
     if bb:
         # MCA fusing block (queries+kv over all 1568 tokens, 3 heads x
         # 64): q/kv/proj projections + mlp + two 192-dim attn matmuls
-        n, d, ahd = 1568, 768, 192
+        n, d, ahd = n_tok, 768, 192
         mca = 2 * n * d * (d + 2 * ahd + ahd + 2 * 4 * d) \
             + 4 * n * n * ahd
         flops += (1 if ev else 3) * B * mca
     peak = 197e12
     print(json.dumps({
         "metric": "clips/sec/chip ViT-B " + ("BB-MCA " if bb else "")
-        + ("eval" if ev else "finetune"),
+        + ("eval" if ev else "finetune")
+        + (f" {frames}f" if frames != 16 else ""),
         "value": round(B / dt, 2),
         "unit": "clips/s",
         "extra": {
