@@ -88,8 +88,11 @@ def _block_for(n: int, heads: int = 1) -> int:
             return n  # single q block
         # Divisor-block search. Fat blocks (fewer programs, amortized
         # prologue/epilogue DMA) win at <=8 heads; >8 heads prefer
-        # <=256-row blocks (see docstring A/B).
-        top = 256 if heads > 8 else 1024
+        # <=256-row blocks at the 1568-token geometries (docstring A/B)
+        # but LONG kv amortizes differently: at the 12-head 3136-token
+        # (32-frame) classifier, 448 measured 367.5 ms vs 224's 422.3
+        # (full step, B=12) and 784 OOMs VMEM even at the full budget.
+        top = (256 if n <= 2048 else 512) if heads > 8 else 1024
         for blk in range(top, 63, -8):  # e.g. 1568 -> 784 / 224
             if n % blk == 0 and blk * lane_pad * 4 <= 6 * 1024 * 1024:
                 return blk
