@@ -69,6 +69,8 @@ def main():
 
     init_backend_with_retry()
     enable_compilation_cache()
+    print("[bench] backend up:", jax.devices()[0].device_kind,
+          file=sys.stderr, flush=True)
     cfg = PretrainConfig(
         batch_size=B,
         masking=MaskingConfig(mask_type="tube_bb"),
@@ -98,8 +100,11 @@ def main():
     step = jax.jit(make_pretrain_step(model, tx, cfg, lr),
                    donate_argnums=(0,))
 
+    print("[bench] params initialized; compiling step...",
+          file=sys.stderr, flush=True)
     state, metrics = step(state, batch, rng, 0.5)
     float(metrics["loss"])
+    print("[bench] first step done; timing...", file=sys.stderr, flush=True)
 
     n_iters = 30
     t0 = time.perf_counter()
