@@ -24,14 +24,15 @@ import jax.numpy as jnp
 
 
 def vit_b_cls_fwd_flops(
-    batch: int, n_classes: int = 174, n: int = 1568
+    batch: int, n_classes: int = 174, n: int = 1568,
+    dim: int = 768, depth: int = 12,
 ) -> float:
     def block_flops(n, d, mlp=4):
         return 2 * n * d * (3 * d + d + 2 * mlp * d) + 4 * n * n * d
 
-    blocks = 12 * block_flops(n, 768)
-    patch = 2 * n * 1536 * 768
-    head = 2 * 768 * n_classes
+    blocks = depth * block_flops(n, dim)
+    patch = 2 * n * 1536 * dim
+    head = 2 * dim * n_classes
     return batch * (patch + blocks + head)
 
 
@@ -51,16 +52,31 @@ def main():
     frames = 16
     if "--frames" in sys.argv:
         frames = int(sys.argv[sys.argv.index("--frames") + 1])
+    # --img 384 benches the high-resolution registry variants (reference
+    # modeling_finetune.py:637-705 ships 384/512 as first-class): 4608
+    # tokens at 16f/384px, through the blocked flash fallback kernels.
+    # --model large benches vit_large_patch16_* (1024-dim, 16-head, 24-deep).
+    img = 224
+    if "--img" in sys.argv:
+        img = int(sys.argv[sys.argv.index("--img") + 1])
+    mname = "base"
+    if "--model" in sys.argv:
+        mname = sys.argv[sys.argv.index("--model") + 1]
+    dim, depth = {"small": (384, 12), "base": (768, 12),
+                  "large": (1024, 24)}[mname]
     B = int(os.environ.get("MOFO_BENCH_BATCH", "48" if ev else "24"))
-    if frames != 16 and "MOFO_BENCH_BATCH" not in os.environ:
-        B = max(1, B * 16 // frames)  # keep the default memory footprint
+    if "MOFO_BENCH_BATCH" not in os.environ:
+        # keep roughly the 16f/224px/ViT-B activation footprint
+        scale = (frames / 16) * (img / 224) ** 2 * (dim / 768)
+        B = max(1, int(B / scale))
     n_classes = 174
-    n_tok = frames // 2 * 196
+    n_tok = frames // 2 * (img // 16) ** 2
     cfg = FinetuneConfig(
-        batch_size=B, nb_classes=n_classes, num_frames=frames
+        batch_size=B, nb_classes=n_classes, num_frames=frames,
+        input_size=img,
     )
     clip = jax.random.normal(
-        jax.random.PRNGKey(0), (B, frames, 224, 224, 3), jnp.float32
+        jax.random.PRNGKey(0), (B, frames, img, img, 3), jnp.float32
     )
     labels = jax.random.randint(
         jax.random.PRNGKey(1), (B,), 0, n_classes
@@ -77,7 +93,7 @@ def main():
         params = model.init(jax.random.PRNGKey(2), clip, boxes)["params"]
     else:
         model = create_model(
-            "vit_base_patch16_224", num_classes=n_classes,
+            f"vit_{mname}_patch16_{img}", num_classes=n_classes,
             dtype=jnp.bfloat16, all_frames=frames,
         )
         params = model.init(jax.random.PRNGKey(2), clip)["params"]
@@ -112,7 +128,7 @@ def main():
             return (None, m["loss"]), m
 
         carry0 = (None, jnp.float32(0.0))
-        flops = vit_b_cls_fwd_flops(B, n_classes, n_tok)  # forward only
+        flops = vit_b_cls_fwd_flops(B, n_classes, n_tok, dim, depth)  # forward only
     else:
         step = jax.jit(make_finetune_step(model, tx, cfg, bb_focused=bb),
                        donate_argnums=(0,))
@@ -123,7 +139,7 @@ def main():
             return (st, m["loss"]), m
 
         carry0 = (state, jnp.float32(0.0))
-        flops = 3 * vit_b_cls_fwd_flops(B, n_classes, n_tok)
+        flops = 3 * vit_b_cls_fwd_flops(B, n_classes, n_tok, dim, depth)
 
     # shared harness: warmup + scalar fetch (block through the relay),
     # then a chained run with ONE scalar fetch at the end
@@ -144,9 +160,10 @@ def main():
         flops += (1 if ev else 3) * B * mca
     peak = 197e12
     print(json.dumps({
-        "metric": "clips/sec/chip ViT-B " + ("BB-MCA " if bb else "")
+        "metric": f"clips/sec/chip ViT-{mname[0].upper()} " + ("BB-MCA " if bb else "")
         + ("eval" if ev else "finetune")
-        + (f" {frames}f" if frames != 16 else ""),
+        + (f" {frames}f" if frames != 16 else "")
+        + (f" {img}px" if img != 224 else ""),
         "value": round(B / dt, 2),
         "unit": "clips/s",
         "extra": {
