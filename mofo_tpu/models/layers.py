@@ -195,11 +195,9 @@ class Attention(nn.Module):
         # tensor need A to be a lane-tile (128) multiple for legal Mosaic
         # minor-dim tiling; misaligned geometries (attn_head_dim overrides,
         # odd head counts like 3x64) take the head-major kernel instead.
-        # Mosaic also has no f16 type: the fp16 loss-scale path must not
-        # reach any Pallas kernel (it falls through to XLA attention).
-        flat_aligned = (
-            all_head_dim % 128 == 0 and self.dtype != jnp.float16
-        )
+        # (f16 callers are upcast to bf16 at the kernel boundary —
+        # flash_attention._f16_boundary.)
+        flat_aligned = all_head_dim % 128 == 0
         if self.attn_impl == "pallas":
             # dispatcher raises on bias/dropout for explicit pallas;
             # keep that behavior for the flat path too
@@ -372,7 +370,6 @@ class CrossAttention(nn.Module):
             self.attn_impl in ("auto", "pallas")
             and not drop_active
             and Nx == Ny
-            and self.dtype != jnp.float16  # Mosaic has no f16 type
             and (
                 self.attn_impl == "pallas"
                 or (_on_tpu() and Ny >= _PALLAS_MIN_SEQ)

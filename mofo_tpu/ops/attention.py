@@ -94,9 +94,6 @@ def dot_product_attention(
             and q.shape[2] == k.shape[2]
             and bias is None
             and (deterministic or dropout_rate == 0.0)
-            # Mosaic has no f16 type: the fp16 loss-scale path (--dtype
-            # float16, DeepSpeed-parity) must take XLA attention
-            and q.dtype != jnp.float16
         )
         impl = "pallas" if use_pallas else "xla"
     if impl == "pallas":
@@ -113,12 +110,8 @@ def dot_product_attention(
                 f"(attn_drop_rate={dropout_rate}); use impl='xla' (or "
                 "'auto', which falls back when dropout is active)."
             )
-        if q.dtype == jnp.float16:
-            raise ValueError(
-                "impl='pallas' does not support float16 (Mosaic has no "
-                "f16 type); use impl='xla' or 'auto' — the fp16 "
-                "loss-scale path auto-routes to XLA attention."
-            )
+        # f16 operands are upcast to bf16 at the kernel boundary
+        # (Mosaic has no f16 type) — see flash_attention._f16_boundary
         from mofo_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)

@@ -121,3 +121,70 @@ class TestHeadMajorFlashSharding:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6
         )
+
+
+class TestMaskedKvBiasSharding:
+    """The masked kv-bias flash variant (BB-MCA cross-attention) under
+    batch sharding: the bias operand must partition with the batch (no
+    all-gather), forward and backward matching the unsharded run."""
+
+    def _bias(self, B=8, N=128, n_masked=40, seed=13):
+        key = jax.random.PRNGKey(seed)
+        # mask a random suffix of kv positions per row, never all of them
+        keep = jax.random.randint(key, (B, 1), N - n_masked, N)
+        col = jnp.arange(N)[None, :]
+        return jnp.where(col < keep, 0.0, -1e30).astype(jnp.float32)
+
+    def test_fwd_bwd_sharded_matches_unsharded(self):
+        q, k, v = _qkv(seed=17)
+        bias = self._bias()
+
+        def loss(q, k, v, bias):
+            o = flash_attention_mh(
+                q, k, v, scale=0.125, num_heads=2, kv_bias=bias,
+                interpret=True,
+            )
+            return jnp.sum(o * jnp.cos(o))
+
+        ref_out = flash_attention_mh(
+            q, k, v, scale=0.125, num_heads=2, kv_bias=bias,
+            interpret=True,
+        )
+        g_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, bias)
+
+        mesh = _mesh()
+        sh = NamedSharding(mesh, P("data"))
+        qs, ks_, vs, bs = [jax.device_put(x, sh) for x in (q, k, v, bias)]
+        out = jax.jit(
+            lambda a, b, c, d: flash_attention_mh(
+                a, b, c, scale=0.125, num_heads=2, kv_bias=d,
+                interpret=True,
+            )
+        )(qs, ks_, vs, bs)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref_out), rtol=1e-6, atol=1e-6
+        )
+        g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(qs, ks_, vs, bs)
+        for a, r in zip(g, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(r), rtol=1e-5, atol=1e-6
+            )
+
+    def test_no_allgather(self):
+        mesh = _mesh()
+        sh = NamedSharding(mesh, P("data"))
+        q, k, v = [jax.device_put(x, sh) for x in _qkv(seed=19)]
+        bias = jax.device_put(self._bias(), sh)
+
+        def loss(q, k, v, bias):
+            o = flash_attention_mh(
+                q, k, v, scale=0.125, num_heads=2, kv_bias=bias,
+                interpret=True,
+            )
+            return jnp.sum(o * o)
+
+        hlo = (
+            jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+            .lower(q, k, v, bias).compile().as_text()
+        )
+        assert "all-gather" not in hlo and "all_gather" not in hlo

@@ -227,14 +227,14 @@ class TestBenchBackendRetry:
         assert "UNAVAILABLE" in rec["extra"]["last_error"]
 
 
-class TestFp16AvoidsPallas:
-    """Mosaic has no f16 type: the fp16 loss-scale path (--dtype float16,
-    the DeepSpeed-parity config) must never reach a Pallas kernel. With
-    _on_tpu monkeypatched True, an f16 forward through Attention must
-    still dispatch to XLA attention — on this CPU backend a pallas_call
-    would fail to lower, so plain success proves the routing."""
+class TestFp16FlashUpcast:
+    """Mosaic has no f16 type, but fp16 (--dtype float16, the
+    DeepSpeed-parity config) is the reference's production finetune
+    mode — f16 operands are upcast to bf16 at the flash-kernel boundary
+    (flash_attention._f16_boundary) instead of falling back to the N^2
+    XLA path, keeping fp16 first-class perf-wise (VERDICT r4 #8)."""
 
-    def test_f16_attention_routes_to_xla(self, monkeypatch):
+    def test_f16_attention_runs_flash_and_matches_xla(self, monkeypatch):
         from mofo_tpu.models import layers as L
         from mofo_tpu.ops import attention as A
 
@@ -247,13 +247,46 @@ class TestFp16AvoidsPallas:
             attn_impl="auto",
         )
         p = attn.init(jax.random.PRNGKey(0), x)
-        out = attn.apply(p, x)
+        out = attn.apply(p, x)  # flash path (interpreted off-TPU)
         assert out.dtype == jnp.float16
         assert np.isfinite(np.asarray(out, np.float32)).all()
+        xla_attn = L.Attention(
+            dim=128, num_heads=2, qkv_bias=True, dtype=jnp.float16,
+            attn_impl="xla",
+        )
+        ref = xla_attn.apply(p, x)
+        # bf16 vs f16 operand quantization: agreement to bf16 epsilon
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
 
-    def test_explicit_pallas_f16_raises(self):
+    def test_f16_grads_finite_and_f16(self):
+        from mofo_tpu.ops.flash_attention import flash_attention_mh
+
+        q = jnp.asarray(
+            np.random.RandomState(1).randn(2, 64, 128) * 0.1, jnp.float16
+        )
+
+        def loss(q):
+            o = flash_attention_mh(
+                q, q, q, scale=0.125, num_heads=2, interpret=True
+            )
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss)(q)
+        assert g.dtype == jnp.float16
+        assert np.isfinite(np.asarray(g, np.float32)).all()
+
+    def test_explicit_pallas_f16_upcasts(self):
         from mofo_tpu.ops.attention import dot_product_attention
 
-        q = jnp.zeros((1, 2, 256, 64), jnp.float16)
-        with pytest.raises(ValueError, match="float16"):
-            dot_product_attention(q, q, q, scale=0.125, impl="pallas")
+        rs = np.random.RandomState(2)
+        q = jnp.asarray(rs.randn(1, 2, 256, 64) * 0.1, jnp.float16)
+        out = dot_product_attention(q, q, q, scale=0.125, impl="pallas")
+        ref = dot_product_attention(q, q, q, scale=0.125, impl="xla")
+        assert out.dtype == jnp.float16
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
