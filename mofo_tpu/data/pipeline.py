@@ -292,6 +292,23 @@ def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return {k: np.stack([s[k] for s in samples]) for k in keys}
 
 
+# process-pool decode workers: module-level so they pickle; each worker
+# process unpickles the dataset ONCE at pool start (torch DataLoader
+# worker semantics)
+_DECODE_PROC_DS = None
+
+
+def _decode_proc_init(ds_bytes):
+    global _DECODE_PROC_DS
+    import pickle
+
+    _DECODE_PROC_DS = pickle.loads(ds_bytes)
+
+
+def _decode_proc_getitem(i: int):
+    return _DECODE_PROC_DS[i]
+
+
 class PrefetchLoader:
     """Background loader: sample -> batch -> (optionally sharded)
     device_put. Replaces DataLoader(num_workers, prefetch) for the thin
@@ -300,6 +317,11 @@ class PrefetchLoader:
     - num_workers > 1 decodes samples of a batch concurrently in a thread
       pool (FFmpeg decode releases the GIL), the analogue of the
       reference's DataLoader(num_workers=4) per rank.
+    - worker_mode="process" decodes in a process pool instead (each
+      worker unpickles the dataset once at pool start): for pipelines
+      whose python-side work (PIL/cv2 transforms, json box lookups) is
+      GIL-bound rather than decode-bound — the true analogue of torch
+      DataLoader worker processes.
     - drop_last=False pads the final partial batch up to batch_size by
       wrapping to the front of the index list (DistributedSampler-style),
       keeping every batch mesh-divisible; padded rows are flagged False
@@ -320,6 +342,7 @@ class PrefetchLoader:
         drop_last: bool = True,
         to_device: bool = True,
         num_workers: int = 1,
+        worker_mode: str = "thread",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -330,6 +353,8 @@ class PrefetchLoader:
         self.drop_last = drop_last
         self.to_device = to_device
         self.num_workers = max(1, num_workers)
+        assert worker_mode in ("thread", "process"), worker_mode
+        self.worker_mode = worker_mode
 
     def __len__(self) -> int:
         n = len(self.sampler.indices())
@@ -342,12 +367,27 @@ class PrefetchLoader:
             if self._pool is None:
                 import concurrent.futures as cf
 
-                self._pool = cf.ThreadPoolExecutor(self.num_workers)
-            samples = list(
-                self._pool.map(
-                    lambda i: self.dataset[int(i)], sel
+                if self.worker_mode == "process":
+                    import pickle
+
+                    self._pool = cf.ProcessPoolExecutor(
+                        self.num_workers,
+                        initializer=_decode_proc_init,
+                        initargs=(pickle.dumps(self.dataset),),
+                    )
+                else:
+                    self._pool = cf.ThreadPoolExecutor(self.num_workers)
+            if self.worker_mode == "process":
+                samples = list(
+                    self._pool.map(_decode_proc_getitem,
+                                   [int(i) for i in sel])
                 )
-            )
+            else:
+                samples = list(
+                    self._pool.map(
+                        lambda i: self.dataset[int(i)], sel
+                    )
+                )
         else:
             samples = [self.dataset[int(i)] for i in sel]
         return collate(samples)

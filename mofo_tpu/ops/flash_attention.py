@@ -43,6 +43,23 @@ _NEG_INF = -1e30
 _LOG2E = 1.4426950408889634
 
 
+def _ds16() -> bool:
+    """MOFO_DS16=1: compute the backward's dS product in bf16.
+
+    The dS chain on each (bq, Nk) tile is pure VPU traffic between
+    matmuls: f32 sub (dp - delta), f32 mul by p, cast to bf16 — ~30
+    bytes/element. With DS16 the cancellation-sensitive subtract stays
+    f32 but is cast once and multiplied by the (already bf16) p at half
+    width — ~24 B/elem, targeting the measured VPU-overlap gap of the
+    decoder backward (9.71 ms/block vs the ~7.7 50%-MXU floor at B=80).
+    dS carries one extra bf16 rounding (~0.4% relative) on a gradient
+    recompute term. A/B knob; flipped to default if the full-step win
+    is real."""
+    import os
+
+    return os.environ.get("MOFO_DS16") == "1"
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() == "tpu"
@@ -535,6 +552,7 @@ def _mh_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, ld_ref, *refs,
     s_scale = scale * _LOG2E if base2 else scale
     exp_fn = jnp.exp2 if base2 else jnp.exp
     dk_fix = jnp.float32(1.0 / _LOG2E) if base2 else None
+    ds16 = _ds16() and base2
     dk_acc = [jnp.zeros((bk, hd), jnp.float32) for _ in range(heads)]
     dv_acc = [jnp.zeros((bk, hd), jnp.float32) for _ in range(heads)]
     # per-head k/v slices are qi-invariant: slice (and scale) them once
@@ -590,11 +608,15 @@ def _mh_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, ld_ref, *refs,
             delta = ld_ref[0, qi, heads + h]
             # (bf16 exp measured identical to f32 exp — Mosaic upcasts)
             p = exp_fn(s - lse[:, None])
+            p16 = p.astype(doh.dtype)
             dv_acc[h] = dv_acc[h] + jax.lax.dot_general(
-                p.astype(doh.dtype), doh, (((0,), (0,)), ((), ())),
+                p16, doh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            ds = (p * (dp - delta[:, None])).astype(qb.dtype)
+            if ds16:  # see _ds16: f32 cancellation, bf16 product
+                ds = p16 * (dp - delta[:, None]).astype(p16.dtype)
+            else:
+                ds = (p * (dp - delta[:, None])).astype(qb.dtype)
             dk_acc[h] = dk_acc[h] + jax.lax.dot_general(
                 ds, qh_all[h], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -682,7 +704,12 @@ def _mh_fwd_impl(q, k, v, scale, heads, interpret, kv_bias=None):
                     # (bq, Nk) f32 score tiles even at small
                     # divisor blocks: 6-head N=3136 at bq=448
                     # measures 29.2M vs the 24M short-kv tier
-                    80 if (bq > 512 or n_pad > 2048) else 24
+                    80 if (bq > 512 or n_pad > 2048)
+                    # >8-head long-kv fwd: the unrolled head
+                    # loop's live score tiles aren't buffer-
+                    # shared (ViT-L classifier 16h/N=1568/bq=224
+                    # measures 32.0M vs the 24M short-kv tier)
+                    else (40 if heads > 8 and n_pad > 512 else 24)
                 ) * 1024 * 1024,
                 # every (batch, q-block) program is independent — let
                 # Mosaic pipeline DMA across both grid dims
@@ -922,6 +949,7 @@ def _qkv_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     s_scale = scale * _LOG2E if base2 else scale
     exp_fn = jnp.exp2 if base2 else jnp.exp
     dk_fix = jnp.float32(1.0 / _LOG2E) if base2 else None
+    ds16 = _ds16() and base2
     kh_all = [k_ref[0][:, h * hd:(h + 1) * hd] for h in range(heads)]
     khs_all = [kh * kh.dtype.type(scale) for kh in kh_all]
     vh_all = [v_ref[0][:, h * hd:(h + 1) * hd] for h in range(heads)]
@@ -981,11 +1009,15 @@ def _qkv_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
             # they make — is exactly zero
             lse = lse_ref[0, qi, h, 0]
             p = exp_fn(s - lse[:, None])  # padded q rows -> exactly 0
+            p16 = p.astype(doh.dtype)
             dv_acc[h] = dv_acc[h] + jax.lax.dot_general(
-                p.astype(doh.dtype), doh, (((0,), (0,)), ((), ())),
+                p16, doh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            ds = (p * (dp - delta[:, None])).astype(qb.dtype)
+            if ds16:  # see _ds16: f32 cancellation, bf16 product
+                ds = p16 * (dp - delta[:, None]).astype(p16.dtype)
+            else:
+                ds = (p * (dp - delta[:, None])).astype(qb.dtype)
             dk_acc[h] = dk_acc[h] + jax.lax.dot_general(
                 ds, qh_all[h], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -1029,6 +1061,7 @@ def _qkv_bwd_kernel_houter(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     s_scale = scale * _LOG2E if base2 else scale
     exp_fn = jnp.exp2 if base2 else jnp.exp
     dk_fix = jnp.float32(1.0 / _LOG2E) if base2 else None
+    ds16 = _ds16() and base2
     qb_all = [q_ref[0, pl.ds(qi * bq, bq), :] for qi in range(nq)]
     dob_all = [do_ref[0, pl.ds(qi * bq, bq), :] for qi in range(nq)]
     ob_all = [o_ref[0, pl.ds(qi * bq, bq), :] for qi in range(nq)]
@@ -1076,11 +1109,15 @@ def _qkv_bwd_kernel_houter(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         )  # (bq,)
         lse = lse_ref[0, qi, h, 0]  # +inf on padded q rows
         p = exp_fn(s - lse[:, None])
+        p16 = p.astype(doh.dtype)
         dv_acc = dv_acc + jax.lax.dot_general(
-            p.astype(doh.dtype), doh, (((0,), (0,)), ((), ())),
+            p16, doh, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = (p * (dp - delta[:, None])).astype(doh.dtype)
+        if ds16:  # see _ds16: f32 cancellation, bf16 product
+            ds = p16 * (dp - delta[:, None]).astype(p16.dtype)
+        else:
+            ds = (p * (dp - delta[:, None])).astype(doh.dtype)
         dk_acc = dk_acc + jax.lax.dot_general(
             ds, qh_of(h, qi), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -1150,7 +1187,12 @@ def _qkv_fwd_impl(qkv, scale, heads, interpret):
                     # (bq, Nk) f32 score tiles even at small
                     # divisor blocks: 6-head N=3136 at bq=448
                     # measures 29.2M vs the 24M short-kv tier
-                    80 if (bq > 512 or n_pad > 2048) else 24
+                    80 if (bq > 512 or n_pad > 2048)
+                    # >8-head long-kv fwd: the unrolled head
+                    # loop's live score tiles aren't buffer-
+                    # shared (ViT-L classifier 16h/N=1568/bq=224
+                    # measures 32.0M vs the 24M short-kv tier)
+                    else (40 if heads > 8 and n_pad > 512 else 24)
                 ) * 1024 * 1024,
                 dimension_semantics=("parallel", "parallel"),
             ),

@@ -282,3 +282,22 @@ class TestWorkerPool:
         for a, b in zip(serial, pooled):
             for k in a:
                 np.testing.assert_array_equal(a[k], b[k])
+
+    def test_process_decode_matches_serial(self):
+        """worker_mode='process' (torch-DataLoader-style worker
+        processes; dataset unpickled once per worker) must yield
+        identical batches to serial fetch."""
+        from mofo_tpu.data.pipeline import (
+            PrefetchLoader, SyntheticClipDataset,
+        )
+
+        ds = SyntheticClipDataset(n=8, num_frames=2, decode_size=(16, 20))
+        serial = list(PrefetchLoader(ds, 4, to_device=False,
+                                     num_workers=1))
+        pooled = list(PrefetchLoader(ds, 4, to_device=False,
+                                     num_workers=2,
+                                     worker_mode="process"))
+        assert len(serial) == len(pooled) == 2
+        for a, b in zip(serial, pooled):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
