@@ -43,23 +43,6 @@ _NEG_INF = -1e30
 _LOG2E = 1.4426950408889634
 
 
-def _ds16() -> bool:
-    """MOFO_DS16=1: compute the backward's dS product in bf16.
-
-    The dS chain on each (bq, Nk) tile is pure VPU traffic between
-    matmuls: f32 sub (dp - delta), f32 mul by p, cast to bf16 — ~30
-    bytes/element. With DS16 the cancellation-sensitive subtract stays
-    f32 but is cast once and multiplied by the (already bf16) p at half
-    width — ~24 B/elem, targeting the measured VPU-overlap gap of the
-    decoder backward (9.71 ms/block vs the ~7.7 50%-MXU floor at B=80).
-    dS carries one extra bf16 rounding (~0.4% relative) on a gradient
-    recompute term. A/B knob; flipped to default if the full-step win
-    is real."""
-    import os
-
-    return os.environ.get("MOFO_DS16") == "1"
-
-
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() == "tpu"
@@ -552,7 +535,7 @@ def _mh_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, ld_ref, *refs,
     s_scale = scale * _LOG2E if base2 else scale
     exp_fn = jnp.exp2 if base2 else jnp.exp
     dk_fix = jnp.float32(1.0 / _LOG2E) if base2 else None
-    ds16 = _ds16() and base2
+    ds16 = base2  # bf16 dS product: measured -0.85 ms/step at B=80
     dk_acc = [jnp.zeros((bk, hd), jnp.float32) for _ in range(heads)]
     dv_acc = [jnp.zeros((bk, hd), jnp.float32) for _ in range(heads)]
     # per-head k/v slices are qi-invariant: slice (and scale) them once
@@ -613,7 +596,7 @@ def _mh_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, ld_ref, *refs,
                 p16, doh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            if ds16:  # see _ds16: f32 cancellation, bf16 product
+            if ds16:  # f32 cancellation-sensitive subtract, bf16 product
                 ds = p16 * (dp - delta[:, None]).astype(p16.dtype)
             else:
                 ds = (p * (dp - delta[:, None])).astype(qb.dtype)
@@ -949,7 +932,7 @@ def _qkv_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     s_scale = scale * _LOG2E if base2 else scale
     exp_fn = jnp.exp2 if base2 else jnp.exp
     dk_fix = jnp.float32(1.0 / _LOG2E) if base2 else None
-    ds16 = _ds16() and base2
+    ds16 = base2  # bf16 dS product: measured -0.85 ms/step at B=80
     kh_all = [k_ref[0][:, h * hd:(h + 1) * hd] for h in range(heads)]
     khs_all = [kh * kh.dtype.type(scale) for kh in kh_all]
     vh_all = [v_ref[0][:, h * hd:(h + 1) * hd] for h in range(heads)]
@@ -1014,7 +997,7 @@ def _qkv_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
                 p16, doh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            if ds16:  # see _ds16: f32 cancellation, bf16 product
+            if ds16:  # f32 cancellation-sensitive subtract, bf16 product
                 ds = p16 * (dp - delta[:, None]).astype(p16.dtype)
             else:
                 ds = (p * (dp - delta[:, None])).astype(qb.dtype)
@@ -1061,7 +1044,7 @@ def _qkv_bwd_kernel_houter(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     s_scale = scale * _LOG2E if base2 else scale
     exp_fn = jnp.exp2 if base2 else jnp.exp
     dk_fix = jnp.float32(1.0 / _LOG2E) if base2 else None
-    ds16 = _ds16() and base2
+    ds16 = base2  # bf16 dS product: measured -0.85 ms/step at B=80
     qb_all = [q_ref[0, pl.ds(qi * bq, bq), :] for qi in range(nq)]
     dob_all = [do_ref[0, pl.ds(qi * bq, bq), :] for qi in range(nq)]
     ob_all = [o_ref[0, pl.ds(qi * bq, bq), :] for qi in range(nq)]
@@ -1114,7 +1097,7 @@ def _qkv_bwd_kernel_houter(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
             p16, doh, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        if ds16:  # see _ds16: f32 cancellation, bf16 product
+        if ds16:  # f32 cancellation-sensitive subtract, bf16 product
             ds = p16 * (dp - delta[:, None]).astype(p16.dtype)
         else:
             ds = (p * (dp - delta[:, None])).astype(doh.dtype)

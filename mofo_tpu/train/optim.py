@@ -95,6 +95,23 @@ def layer_id_for_path(path: Tuple, num_layers: int) -> int:
     return num_layers - 1
 
 
+def infer_depth(params: Params) -> int:
+    """Block depth from the param tree (max blocks_N + 1), so callers
+    need not thread the model depth into the optimizer (the round-5
+    ViT-L bench crashed on the old depth=12 default: blocks_23 indexed
+    past the 14-entry scale table). Defaults to 12 when no transformer
+    blocks are present."""
+    depth = 0
+    for path, _ in jax.tree_util.tree_leaves_with_path(params):
+        for name in path_names(path):
+            if name.startswith("blocks_"):
+                try:
+                    depth = max(depth, int(name.split("_")[-1]) + 1)
+                except ValueError:
+                    pass
+    return depth or 12
+
+
 def layer_decay_scales(
     params: Params, depth: int, layer_decay: float
 ) -> Params:
@@ -492,7 +509,7 @@ def create_optimizer(
     momentum: float = 0.9,
     clip_grad: Optional[float] = None,
     layer_decay: Optional[float] = None,
-    depth: int = 12,
+    depth: Optional[int] = None,
     extra_no_decay: Sequence[str] = (),
     trainable: Optional[Callable[[Tuple, Any], bool]] = None,
 ) -> optax.GradientTransformation:
@@ -632,6 +649,8 @@ def create_optimizer(
         chain.append(add_decayed_weights_scheduled(wd_fn, mask))
 
     if layer_decay is not None and layer_decay < 1.0:
+        if depth is None:
+            depth = infer_depth(params)
         scales = layer_decay_scales(params, depth, layer_decay)
         chain.append(scale_by_leaf(scales))
 

@@ -558,3 +558,38 @@ class TestAdaHessian:
             np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(p)
         )
         assert not np.allclose(np.asarray(p["w"]), 1.0)
+
+
+class TestInferDepth:
+    """create_optimizer(layer_decay=...) infers block depth from the
+    param tree — the explicit depth=12 default crashed ViT-L (blocks_23
+    indexed past the 14-entry scale table, round-5 bench)."""
+
+    def test_infer_depth_24(self):
+        params = {
+            "patch_embed": {"w": np.zeros(2)},
+            **{f"blocks_{i}": {"w": np.zeros(2)} for i in range(24)},
+            "head": {"w": np.zeros(2)},
+        }
+        assert optim.infer_depth(params) == 24
+
+    def test_default_without_blocks(self):
+        assert optim.infer_depth({"head": {"w": np.zeros(2)}}) == 12
+
+    def test_layer_decay_vit_l_shape(self):
+        """End-to-end: a 24-deep tree with layer_decay must build and
+        scale blocks_23 by decay^1 and patch_embed by decay^25."""
+        params = {
+            "patch_embed": {"w": jnp.ones(2)},
+            **{f"blocks_{i}": {"w": jnp.ones(2)} for i in range(24)},
+        }
+        lr = schedules.cosine_schedule(1.0, 1.0, 1, 2, 0)
+        tx = optim.create_optimizer(
+            params, lr_schedule=lr, layer_decay=0.75
+        )
+        state = tx.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, state, params)
+        ratio = float(updates["blocks_23"]["w"][0]
+                      / updates["blocks_0"]["w"][0])
+        np.testing.assert_allclose(ratio, 0.75 ** -23, rtol=1e-5)

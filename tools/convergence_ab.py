@@ -65,7 +65,11 @@ def run_curve(dtype_str, attn_impl, steps, B, clips, boxes_np):
     rng = jax.random.PRNGKey(2)  # folded with state.step inside
     losses = []
     for s in range(steps):
-        batch = {"clip": jnp.asarray(clips[s]), "boxes": boxes}
+        # cycling a bounded batch pool keeps long horizons (300-500
+        # steps) inside host RAM; epoch-style repeats also exercise the
+        # schedule/EMA interaction the 50-step artifact could not
+        batch = {"clip": jnp.asarray(clips[s % len(clips)]),
+                 "boxes": boxes}
         state, metrics = step(state, batch, rng, 0.5)
         losses.append(float(metrics["loss"]))
     return losses
@@ -75,6 +79,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--pool", type=int, default=None,
+                    help="distinct synthetic batches to cycle "
+                         "(default min(steps, 32); bounds host RAM "
+                         "for long horizons)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -87,8 +95,9 @@ def main():
     rng = np.random.RandomState(0)
     yy, xx = np.meshgrid(np.arange(224), np.arange(224), indexing="ij")
     base = ((yy + xx) / 448.0).astype(np.float32)[None, None, :, :, None]
+    pool = args.pool or min(args.steps, 32)
     clips = []
-    for s in range(args.steps):
+    for s in range(pool):
         noise = rng.randn(B, 16, 224, 224, 3).astype(np.float32) * 0.3
         shift = (np.arange(16) / 16.0).astype(np.float32)[
             None, :, None, None, None]
@@ -108,6 +117,7 @@ def main():
         "metric": "convergence A/B (pallas+bf16 vs xla+f32, "
                   "ViT-B MOFO pretrain)",
         "steps": args.steps,
+        "pool": pool,
         "batch": B,
         "device": str(jax.devices()[0].device_kind),
         "prod_losses": prod,
