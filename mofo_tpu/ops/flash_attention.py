@@ -1262,12 +1262,16 @@ def _qkv_bwd_impl(qkv, out, lse, do, scale, heads, interpret):
                 # measured Mosaic stack: h-inner 88.1M at the 6-head
                 # 1568-token decoder; h-outer at the 12-head classifier
                 # needs 62.0M even at 224-row blocks (the dqkv output
-                # block alone is bq x 3A) — budget by head count for
-                # long-kv geometries; short-kv (160-token encoder)
+                # block alone is bq x 3A), and the 16-head/A=1024 ViT-L
+                # classifier 80.76M — budget by head count AND width
+                # for long-kv geometries; short-kv (160-token encoder)
                 # keeps the tight tier
                 vmem_limit_bytes=_vmem_mb(
                     100 if bq > 512
-                    else (80 if heads > 8 and n_pad > 512 else 40)
+                    else (
+                        (88 if A > 768 else 80)
+                        if heads > 8 and n_pad > 512 else 40
+                    )
                 ) * 1024 * 1024,
                 dimension_semantics=("parallel",),
             ),
