@@ -247,6 +247,64 @@ def test_qkv_12head_finetune_geometry_on_chip():
     )
 
 
+def _qkv_vs_xla(n_tok, heads, seed, batch=1):
+    """Shared long-sequence check: fused-qkv flash fwd+bwd vs XLA at a
+    given (N, heads) geometry in bf16. Long-kv geometries exercise the
+    kv-length-aware VMEM tiers (n_pad > 2048 -> 80M fwd / 80-100M bwd)
+    and the blocked fallback backward; a tier regression OOMs scoped
+    VMEM only on real Mosaic (PERF.md "Known VMEM budgets")."""
+    from mofo_tpu.ops.flash_attention import flash_attention_qkv
+
+    A = heads * HD
+    qkv = _rand((batch, n_tok, 3 * A), seed).astype(jnp.bfloat16)
+
+    def loss_qkv(qkv):
+        out = flash_attention_qkv(
+            qkv, scale=SCALE, num_heads=heads, interpret=False
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_ref(qkv):
+        to4 = lambda t: (
+            t.reshape(batch, n_tok, heads, HD).transpose(0, 2, 1, 3)
+        )
+        o = xla_attention(
+            to4(qkv[..., :A]), to4(qkv[..., A:2 * A]),
+            to4(qkv[..., 2 * A:]), scale=SCALE,
+        )
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    v_ours, g_ours = jax.jit(jax.value_and_grad(loss_qkv))(qkv)
+    v_ref, g_ref = jax.jit(jax.value_and_grad(loss_ref))(qkv)
+    np.testing.assert_allclose(float(v_ours), float(v_ref), rtol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(g_ours, dtype=np.float32),
+        np.asarray(g_ref, dtype=np.float32), atol=3e-2, rtol=3e-2,
+    )
+
+
+def test_qkv_3136_tokens_on_chip():
+    """32-frame decoder geometry (N=3136, 6 heads): long-kv forward
+    tier + 448-row blocks (CLAUDE.md round-4 32f validation, now
+    pinned as a test)."""
+    _qkv_vs_xla(3136, 6, 31)
+
+
+def test_qkv_3136_tokens_12head_on_chip():
+    """32-frame classifier geometry (N=3136, 12 heads): >8-head long-kv
+    tiers + 224-row head-aware blocks."""
+    _qkv_vs_xla(3136, 12, 32)
+
+
+def test_qkv_4608_tokens_on_chip():
+    """384px classifier geometry (N=4608 = 8*24^2 tokens, 12 heads):
+    the vit_base_patch16_384 registry variant's attention, through the
+    blocked fallback backward (VERDICT r4 #2: the >2048-token path had
+    one measured point and no gated test). Ref geometry:
+    /root/reference/modeling_finetune.py:637-666."""
+    _qkv_vs_xla(4608, 12, 33)
+
+
 def test_convergence_ab_artifact():
     """Gated multi-step convergence A/B: the production config
     (pallas+bf16) must track the reference config (xla+f32) across a

@@ -63,16 +63,27 @@ def run_curve(dtype_str, attn_impl, steps, B, clips, boxes_np):
                    donate_argnums=(0,))
     boxes = jnp.asarray(boxes_np)
     rng = jax.random.PRNGKey(2)  # folded with state.step inside
-    losses = []
+    # Two relay-cost rules (learned the hard way when the first 500-step
+    # run timed out at 60 min):
+    #  1. transfer the batch pool to HBM ONCE — jnp.asarray of a 154 MB
+    #     host clip EVERY step is seconds of relay transfer per step
+    #     (the pool is bounded at 16 batches = 2.5 GB precisely so it
+    #     can live on device);
+    #  2. keep per-step losses on device and fetch once at the end — a
+    #     float() per step is a full relay round trip. A periodic sync
+    #     bounds the async dispatch queue depth.
+    clips_dev = [jax.device_put(c) for c in clips]
+    losses_dev = []
     for s in range(steps):
         # cycling a bounded batch pool keeps long horizons (300-500
-        # steps) inside host RAM; epoch-style repeats also exercise the
+        # steps) on-device; epoch-style repeats also exercise the
         # schedule/EMA interaction the 50-step artifact could not
-        batch = {"clip": jnp.asarray(clips[s % len(clips)]),
-                 "boxes": boxes}
+        batch = {"clip": clips_dev[s % len(clips_dev)], "boxes": boxes}
         state, metrics = step(state, batch, rng, 0.5)
-        losses.append(float(metrics["loss"]))
-    return losses
+        losses_dev.append(metrics["loss"])
+        if (s + 1) % 25 == 0:
+            float(losses_dev[-1])
+    return [float(x) for x in np.asarray(jnp.stack(losses_dev))]
 
 
 def main():
