@@ -79,10 +79,14 @@ def _block_for(n: int, heads: int = 1) -> int:
     if n % 8 == 0:
         lane_pad = -(-n // 128) * 128  # physical kv width after Mosaic
         pad256 = -(-n // 256) * 256  # kv width with 256 blocks
-        if pad256 == lane_pad:
+        if pad256 == lane_pad and (heads <= 8 or n <= 2048):
             # padding to 256 blocks is free (it IS the lane-aligned
             # width, e.g. the 160-token encoder -> 256) and 256-row q
-            # blocks pipeline better on the MXU than odd divisors
+            # blocks pipeline better on the MXU than odd divisors —
+            # EXCEPT at >8-head long-kv geometries, where the divisor
+            # search below wins: the 12-head N=4608 (384px classifier)
+            # measures 426.7 ms with 384-row blocks vs 457.1 with 256
+            # (full step, B=8, round 5)
             return _BLOCK_Q
         if n <= 512:
             return n  # single q block
@@ -92,9 +96,18 @@ def _block_for(n: int, heads: int = 1) -> int:
         # but LONG kv amortizes differently: at the 12-head 3136-token
         # (32-frame) classifier, 448 measured 367.5 ms vs 224's 422.3
         # (full step, B=12) and 784 OOMs VMEM even at the full budget.
-        top = (256 if n <= 2048 else 512) if heads > 8 else 1024
+        # The >8-head long-kv cap is 448, not 512: at 12-head N=4608
+        # (384px classifier) 384-row blocks measure 426.7 ms vs 512's
+        # 457.1 (full step, B=8, round 5) — cap 448 keeps 448 at
+        # N=3136 (divides) and picks 384 at N=4608; 392 at N=3136
+        # measured worse (502.6).
+        top = (256 if n <= 2048 else 448) if heads > 8 else 1024
+        # the f32 (blk, lane_pad) score-tile cap: 6M generally, 8M for
+        # >8-head long kv (admits 384 at N=4608, whose 7.08M tile runs
+        # fine inside the 80/100M long-kv VMEM tiers — measured round 5)
+        tile_cap = (8 if heads > 8 and n > 2048 else 6) * 1024 * 1024
         for blk in range(top, 63, -8):  # e.g. 1568 -> 784 / 224
-            if n % blk == 0 and blk * lane_pad * 4 <= 6 * 1024 * 1024:
+            if n % blk == 0 and blk * lane_pad * 4 <= tile_cap:
                 return blk
     return _BLOCK_Q  # fallback: pad to 256 blocks and mask
 
@@ -171,7 +184,16 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds = (p * (dp - delta[:, None])).astype(k.dtype)
+    if k.dtype == jnp.bfloat16:
+        # bf16 dS product (f32 cancellation-sensitive subtract kept,
+        # half-width multiply) — same treatment the fused kernels got
+        # in round 5 (-0.85 ms/step at B=80, loss shift 8.7e-8); the
+        # blocked kernels serve the >2048-token callers (32f / 384px)
+        ds = p.astype(jnp.bfloat16) * (
+            dp - delta[:, None]
+        ).astype(jnp.bfloat16)
+    else:
+        ds = (p * (dp - delta[:, None])).astype(k.dtype)
     dq = jax.lax.dot_general(
         ds, ks, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -213,7 +235,13 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             dob, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (bq, bk)
-        ds = (p * (dp - delta[:, None])).astype(k.dtype)
+        if k.dtype == jnp.bfloat16:
+            # bf16 dS product, f32 subtract — see _dq_kernel
+            ds = p.astype(jnp.bfloat16) * (
+                dp - delta[:, None]
+            ).astype(jnp.bfloat16)
+        else:
+            ds = (p * (dp - delta[:, None])).astype(k.dtype)
         dk_acc = dk_acc + jax.lax.dot_general(
             ds, qb, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -803,7 +831,13 @@ def _mh_bwd_impl(q, k, v, out, lse, do, scale, heads, interpret,
                 # callers (the 160-token encoder) keep the tight tier
                 vmem_limit_bytes=_vmem_mb(
                     (100 if heads > 8 else 64) if bq > 512
-                    else (80 if heads > 8 and n_pad > 512 else 32)
+                    else (
+                        # 12-head N=4608 at bq=384 measures 102.41M
+                        # (full q/do rows + f32 dq scratch scale with
+                        # n_pad; the unrolled head loop's tiles with bq)
+                        (110 if n_pad > 2048 else 80)
+                        if heads > 8 and n_pad > 512 else 32
+                    )
                 ) * 1024 * 1024,
                 # batch programs are independent; the kv-block dim is
                 # sequential (dq accumulates across it in VMEM scratch)
@@ -1269,7 +1303,10 @@ def _qkv_bwd_impl(qkv, out, lse, do, scale, heads, interpret):
                 vmem_limit_bytes=_vmem_mb(
                     100 if bq > 512
                     else (
-                        (88 if A > 768 else 80)
+                        # >2048-token kv rows + per-head score tiles
+                        # (N=4608 at bq=384) need the fat tier
+                        (100 if n_pad > 2048 else
+                         (88 if A > 768 else 80))
                         if heads > 8 and n_pad > 512 else 40
                     )
                 ) * 1024 * 1024,
