@@ -420,6 +420,9 @@ def main(args=None):
     state = TrainState.create(
         params, tx, use_ema=cfg.model_ema, loss_scale=ls
     )
+    # epoch-stable jit input types (see mesh_lib.place_state): without
+    # this the epoch-1 step silently retraces and recompiles
+    state = mesh_lib.place_state(state, mesh)
 
     start_epoch = args.start_epoch
     if args.auto_resume and args.output_dir:

@@ -255,6 +255,9 @@ def main(args=None):
     )
     params = mesh_lib.shard_params(params, mesh)
     state = TrainState.create(params, tx)
+    # epoch-stable jit input types (see mesh_lib.place_state): without
+    # this the epoch-1 step silently retraces and recompiles
+    state = mesh_lib.place_state(state, mesh)
 
     start_epoch = args.start_epoch
     if args.auto_resume and args.output_dir:

@@ -67,6 +67,37 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def place_state(tree, mesh: Mesh):
+    """Give every leaf WITHOUT a NamedSharding a replicated placement on
+    the mesh.
+
+    Why this matters: once params carry NamedShardings, a jitted train
+    step computes in auto-sharding mode and its OUTPUTS — including
+    plain scalars like `state.step` and the optax `count`s — come back
+    typed on the mesh (`i32[]({Auto: ('data','fsdp','model')})`). If
+    those scalars went IN as freshly created single-device arrays
+    (`i32[]({})`), the second call's tracing cache key differs from the
+    first and the whole step silently RETRACES AND RECOMPILES — a
+    second multi-minute remote compile at epoch 1 on the TPU relay
+    (diagnosed round 5 via jax_explain_cache_misses). Placing the
+    scalars replicated on the mesh up front makes call-1 input types
+    identical to every later call's.
+    """
+    rep = replicated(mesh)
+
+    def put(x):
+        if isinstance(getattr(x, "sharding", None), NamedSharding):
+            return x
+        if jax.process_count() > 1:
+            host = np.asarray(x)
+            return jax.make_array_from_callback(
+                host.shape, rep, lambda idx: host[idx]
+            )
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(put, tree)
+
+
 # ---------------------------------------------------------------------------
 # Parameter sharding rules (fsdp + tensor parallelism)
 # ---------------------------------------------------------------------------

@@ -354,6 +354,47 @@ class TestMultiDevice:
                 np.asarray(es), np.asarray(er), rtol=2e-4, atol=2e-6
             )
 
+    def test_state_types_are_epoch_stable(self):
+        """place_state regression (found round 5): once params carry
+        NamedShardings, the jitted step's OUTPUT scalars (state.step,
+        optax counts) come back mesh-typed; a fresh state's scalars are
+        single-device-typed, so without replicated placement the SECOND
+        call silently retraces and recompiles the entire step — a
+        multi-minute extra compile at epoch 1 on the TPU relay."""
+        from mofo_tpu.parallel import mesh as mesh_lib
+
+        cfg = tiny_cfg()
+        model = tiny_classifier(cfg)
+        batch = class_colored_batch(cfg)
+        params = model.init(jax.random.PRNGKey(0), batch["clip"])["params"]
+        lr = schedules.cosine_schedule(1e-3, 1e-4, 8, 10)
+        tx = optim.create_optimizer(params, lr_schedule=lr)
+        mesh = mesh_lib.build_mesh(
+            mesh_lib.MeshConfig(data=2, fsdp=2, model=2)
+        )
+        state = TrainState.create(
+            mesh_lib.shard_params(params, mesh), tx, use_ema=True
+        )
+        state = mesh_lib.place_state(state, mesh)
+        bsh = mesh_lib.batch_sharding(mesh)
+        batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+
+        traces = []
+        base = make_finetune_step(model, tx, cfg, lr)
+
+        def counted(state, batch, rng):
+            traces.append(1)
+            return base(state, batch, rng)
+
+        step = jax.jit(counted, donate_argnums=(0,))
+        rng = jax.random.PRNGKey(7)
+        state, _ = step(state, batch, rng)
+        state, _ = step(state, batch, rng)
+        assert len(traces) == 1, (
+            f"step retraced on the second call ({len(traces)} traces) — "
+            "state input types are not epoch-stable"
+        )
+
     def test_sharded_matches_replicated(self):
         self._assert_sharded_matches()
 

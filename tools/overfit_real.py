@@ -104,7 +104,9 @@ def main():
         sys.stderr.write(proc.stdout[-3000:] + proc.stderr[-3000:])
         if proc.returncode != 0:
             raise SystemExit(f"finetune CLI failed rc={proc.returncode}")
-        log_path = os.path.join(out_dir, "log.jsonl")
+        # the reference's rank-0 epoch log convention is log.txt
+        # (JSONL content; run_mae_pretraining.py:289-293)
+        log_path = os.path.join(out_dir, "log.txt")
         epochs = [json.loads(l) for l in open(log_path) if l.strip()]
         accs = [e.get("val_acc1", 0.0) for e in epochs]
         best = max(accs)
